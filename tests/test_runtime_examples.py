@@ -1,0 +1,331 @@
+"""End-to-end runs of the reference example programs (stdout parity)."""
+
+import asyncio
+
+import pytest
+
+from interpolation_engine_tpu.core.runtime import async_main
+from interpolation_engine_tpu.io.manager import IOManager, ScriptedBackend
+
+EXAMPLES = "/root/reference/examples"
+
+
+def run_program(path, args=(), responses=()):
+    backend = ScriptedBackend(list(responses))
+    io = IOManager(backend)
+    state = asyncio.run(async_main(path, list(args), io))
+    return state, backend
+
+
+def test_hello_world(capsys):
+    state, _ = run_program(f"{EXAMPLES}/hello_world.json5")
+    assert state["output"] == "Hello, world!"
+    assert capsys.readouterr().out == "Hello, world!\n"
+
+
+def test_math_example(capsys):
+    state, _ = run_program(f"{EXAMPLES}/math.json5")
+    assert state["inserts"]["result"] == 3
+    assert capsys.readouterr().out == "The result is 3!\n"
+
+
+@pytest.mark.parametrize("time_choice,expected", [
+    ("1", "Well, I wish you a good morning, ada."),
+    ("Noon", "Well, ada, I hope you have a great day."),
+    ("4", "Good night!"),
+])
+def test_interactivity(capsys, time_choice, expected):
+    state, backend = run_program(
+        f"{EXAMPLES}/interactivity.json5",
+        responses=["ada", time_choice])
+    assert state["inserts"]["greeting"] == expected
+    assert capsys.readouterr().out == expected + "\n"
+    assert backend.exchanges[0]["type"] == "user_input"
+    assert backend.exchanges[1]["type"] == "user_choice"
+
+
+def test_interactivity_escapes_user_input(capsys):
+    state, _ = run_program(
+        f"{EXAMPLES}/interactivity.json5",
+        responses=["a{b}c", "Night"])
+    # user_input results are stored escaped
+    assert state["inserts"]["name"] == r"a\{b\}c"
+    capsys.readouterr()
+
+
+def test_program_args_populate_argn(tmp_path, capsys):
+    prog = tmp_path / "args.json5"
+    prog.write_text("""
+    {
+        default_state: {order_index: 1, inserts: {}},
+        order: [
+            {cmd:'print', text:'got {ARG1} and {ARG2}'},
+        ],
+        named_tasks: {},
+        save_states: {},
+    }
+    """)
+    state, _ = run_program(str(prog), args=["x{y}", "z"])
+    # ARGs are stored escaped; print unescapes for display (reference
+    # :1672-1675) and state['output'] keeps the unescaped text.
+    assert state["inserts"]["ARG1"] == r"x\{y\}"
+    assert state["output"] == "got x{y} and z"
+    capsys.readouterr()
+
+
+def test_goto_and_labels(tmp_path, capsys):
+    prog = tmp_path / "goto.json5"
+    prog.write_text("""
+    {
+        default_state: {order_index: 1, inserts: {}},
+        order: [
+            {cmd:'goto', name:'@skip'},
+            {cmd:'print', text:'NOT PRINTED'},
+            {cmd:'label', name:'@skip'},
+            {cmd:'print', text:'after'},
+        ],
+        named_tasks: {},
+        save_states: {},
+    }
+    """)
+    state, _ = run_program(str(prog))
+    assert state["output"] == "after"
+    capsys.readouterr()
+
+
+def test_serial_for_and_math(tmp_path, capsys):
+    prog = tmp_path / "forloop.json5"
+    prog.write_text("""
+    {
+        default_state: {order_index: 1, inserts: {total: 0}},
+        order: [
+            {cmd:'for', name_list_map:{x: ['1','2','3'], y: ['10','20','30']},
+             tasks:[
+                {cmd:'math', input:'{total} + {x} * {y}', output_name:'total'},
+            ]},
+            {cmd:'print', text:'total={total}'},
+        ],
+        named_tasks: {},
+        save_states: {},
+    }
+    """)
+    state, _ = run_program(str(prog))
+    assert state["inserts"]["total"] == 140
+    assert state["output"] == "total=140"
+    capsys.readouterr()
+
+
+def test_named_tasks_run_task(tmp_path, capsys):
+    prog = tmp_path / "named.json5"
+    prog.write_text("""
+    {
+        default_state: {order_index: 1, inserts: {}},
+        order: [
+            {cmd:'run_task', task_name:'hello'},
+            {cmd:'run_task', task_name:'hello'},
+        ],
+        named_tasks: {
+            hello: {cmd:'print', text:'hi '},
+        },
+        save_states: {},
+    }
+    """)
+    state, _ = run_program(str(prog))
+    assert state["output"] == "hi hi "
+    capsys.readouterr()
+
+
+def test_legacy_tasks_key_loads(capsys):
+    # math.json5 uses the legacy top-level `tasks:` key; the Rust reference
+    # parser accepts it (parser.rs:17-20) and so do we.
+    state, _ = run_program(f"{EXAMPLES}/math.json5")
+    assert state["inserts"]["result"] == 3
+    capsys.readouterr()
+
+
+def test_parallel_wait_and_race(tmp_path, capsys):
+    prog = tmp_path / "par.json5"
+    prog.write_text("""
+    {
+        default_state: {order_index: 1, inserts: {}},
+        order: [
+            {cmd:'parallel_wait', tasks:[
+                {cmd:'set', item:'a', output_name:'ra'},
+                {cmd:'set', item:'b', output_name:'rb'},
+            ]},
+            {cmd:'parallel_race', tasks:[
+                {cmd:'serial', tasks:[
+                    {cmd:'sleep', seconds:5},
+                    {cmd:'set', item:'slow', output_name:'winner'},
+                ]},
+                {cmd:'set', item:'fast', output_name:'winner'},
+            ]},
+            {cmd:'print', text:'{ra}{rb}{winner}'},
+        ],
+        named_tasks: {},
+        save_states: {},
+    }
+    """)
+    state, _ = run_program(str(prog))
+    assert state["output"] == "abfast"
+    # raced serial sub-cursor must be purged
+    assert not any(k.startswith("order_index/") for k in state)
+    capsys.readouterr()
+
+
+def test_replace_map_with_captures(tmp_path, capsys):
+    prog = tmp_path / "rmap.json5"
+    prog.write_text("""
+    {
+        default_state: {order_index: 1, inserts: {msg: 'say [hi] now'}},
+        order: [
+            {cmd:'replace_map', item:'{msg}', output_name:'out', wildcard_maps:[
+                {'*[*]*': '{1}<{2}>{3}'},
+                {'*': '{1}'},
+            ]},
+            {cmd:'print', text:'{out}'},
+        ],
+        named_tasks: {},
+        save_states: {},
+    }
+    """)
+    state, _ = run_program(str(prog))
+    assert state["output"] == "say <hi> now"
+    capsys.readouterr()
+
+
+def test_replace_map_null_on_missing_key(tmp_path, capsys):
+    prog = tmp_path / "rmapnull.json5"
+    # `maybe` is defined by a later task (so validation passes) but is unset
+    # when replace_map runs — the NULL entry catches the runtime miss.
+    prog.write_text("""
+    {
+        default_state: {order_index: 1, inserts: {}},
+        order: [
+            {cmd:'replace_map', item:'{maybe}', output_name:'out', wildcard_maps:[
+                {'NULL': '(none)'},
+                {'*': '{1}'},
+            ]},
+            {cmd:'print', text:'{out}'},
+            {cmd:'set', item:'x', output_name:'maybe'},
+        ],
+        named_tasks: {},
+        save_states: {},
+    }
+    """)
+    state, _ = run_program(str(prog))
+    assert state["output"] == "(none)"
+    capsys.readouterr()
+
+
+def test_repeat_until_done_fixpoint(tmp_path, capsys):
+    prog = tmp_path / "fix.json5"
+    prog.write_text("""
+    {
+        default_state: {order_index: 1, inserts: {t: 'a  b   c'}},
+        order: [
+            {cmd:'replace_map', repeat_until_done:true, item:'{t}',
+             output_name:'out', wildcard_maps:[
+                {'*  *': '{1} {2}'},
+                {'*': '{1}'},
+            ]},
+            {cmd:'print', text:'{out}'},
+        ],
+        named_tasks: {},
+        save_states: {},
+    }
+    """)
+    state, _ = run_program(str(prog))
+    assert state["output"] == "a b c"
+    capsys.readouterr()
+
+
+def test_list_commands(tmp_path, capsys):
+    prog = tmp_path / "lists.json5"
+    prog.write_text("""
+    {
+        default_state: {order_index: 1, inserts: {l: ['a','b','c','d']}},
+        order: [
+            {cmd:'list_join', list:'{l}', before:'<', between:'|', after:'>', output_name:'joined'},
+            {cmd:'list_index', list:'{l}', index:-1, output_name:'last'},
+            {cmd:'list_slice', list:'{l}', from_index:2, to_index:3, output_name:'mid'},
+            {cmd:'list_append', list:'{l}', item:'e', output_name:'l2'},
+            {cmd:'list_remove', list:'{l2}', item:'a', output_name:'l3'},
+            {cmd:'list_remove', list:'{l3}', item:'zz', output_name:'l4'},
+            {cmd:'list_concat', lists:['{l}','{l4}'], output_name:'l5'},
+            {cmd:'math', input:'length(l5)', output_name:'n'},
+            {cmd:'print', text:'{joined} {last} {mid} {n}'},
+        ],
+        named_tasks: {},
+        save_states: {},
+    }
+    """)
+    state, _ = run_program(str(prog))
+    assert state["inserts"]["mid"] == ["b", "c"]
+    assert state["inserts"]["l4"] == ["b", "c", "d", "e"]
+    assert state["output"] == "<a|b|c|d> d ['b', 'c'] 8"
+    capsys.readouterr()
+
+
+def test_delete_and_delete_except(tmp_path, capsys):
+    prog = tmp_path / "del.json5"
+    prog.write_text("""
+    {
+        default_state: {order_index: 1, inserts: {
+            'a/1': 'x', 'a/2': 'y', 'keep': 'z', 'b': 'w'}},
+        order: [
+            {cmd:'delete', wildcards:['a/*']},
+            {cmd:'delete_except', wildcards:['keep']},
+            {cmd:'print', text:'{keep}'},
+        ],
+        named_tasks: {},
+        save_states: {},
+    }
+    """)
+    state, _ = run_program(str(prog))
+    assert set(state["inserts"].keys()) == {"keep"}
+    capsys.readouterr()
+
+
+def test_unescape_command(tmp_path, capsys):
+    prog = tmp_path / "unesc.json5"
+    prog.write_text(r"""
+    {
+        default_state: {order_index: 1, inserts: {name: 'ada'}},
+        order: [
+            {cmd:'set', item:'\\{name\\}', output_name:'tpl'},
+            {cmd:'unescape', item:'{tpl}', output_name:'resolved'},
+            {cmd:'print', text:'{resolved}'},
+        ],
+        named_tasks: {},
+        save_states: {},
+    }
+    """)
+    state, _ = run_program(str(prog))
+    assert state["inserts"]["resolved"] == "ada"
+    capsys.readouterr()
+
+
+def test_goto_map_wildcards_and_null(tmp_path, capsys):
+    prog = tmp_path / "gm.json5"
+    prog.write_text("""
+    {
+        default_state: {order_index: 1, inserts: {}},
+        order: [
+            {cmd:'goto_map', text:'{later_var}', target_maps:[
+                {'NULL':'@null_path'},
+                {'*':'@other'},
+            ]},
+            {cmd:'label', name:'@other'},
+            {cmd:'print', text:'other '},
+            {cmd:'set', item:'v', output_name:'later_var'},
+            {cmd:'label', name:'@null_path'},
+            {cmd:'print', text:'null'},
+        ],
+        named_tasks: {},
+        save_states: {},
+    }
+    """)
+    state, _ = run_program(str(prog))
+    assert state["output"] == "null"
+    capsys.readouterr()
