@@ -32,6 +32,8 @@ class ProgramRun:
         self.killme = False
         self.menu_open = False
         self.current_task: asyncio.Task | None = None
+        self.state: dict | None = None  # live view for embedders/tests
+        self.program: dict | None = None
 
     def toggle_menu(self):
         if self.current_task:
@@ -111,6 +113,7 @@ class ProgramRun:
     async def run(self) -> dict:
         CTX.program_dir = os.path.dirname(os.path.abspath(self.filepath))
         program, state = load(self.filepath)
+        self.program, self.state = program, state
 
         # ARG1..ARGn, always stored escaped (programs opt into `unescape`).
         for i, arg in enumerate(self.args, start=1):
@@ -157,7 +160,11 @@ class ProgramRun:
                 else:
                     raise Exception(f"Task returned unexpected value: {result}.")
             except asyncio.CancelledError:
-                pass
+                # In-flight task cancellation (menu toggle / kill) is part of
+                # normal arbitration; cancellation of run() itself propagates.
+                current = asyncio.current_task()
+                if current is not None and current.cancelling() > 0:
+                    raise
 
             if self.killme:
                 log("🛈 Terminated by user.")

@@ -83,6 +83,10 @@ class ScriptedBackend(BufferBackend):
         return answer
 
     async def select_index(self, options: list, description: Optional[str] = None) -> int:
+        if not options:
+            # an empty choice list blocks until cancelled (the reference's
+            # parallel_race interrupt pattern / out-of-context modal)
+            await asyncio.Event().wait()
         raw = self._next()
         keys = choice_keys(len(options))
         choice_map = {k: i for i, k in enumerate(keys)}
