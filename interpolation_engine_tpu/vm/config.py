@@ -1,0 +1,51 @@
+"""Static capacities of the device VM (shapes are compile-time constants).
+
+Everything on the device is fixed-shape: strings live in padded uint8
+buffers, the insert store has a fixed number of slots, etc. Overflowing any
+capacity parks the instance for host rescue (status=OVERFLOW) rather than
+corrupting state. Capacities are tuned per batch size by the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class VMConfig:
+    max_str: int = 512        # working string buffer length (bytes)
+    max_key: int = 64         # max insert-key length (bytes)
+    n_slots: int = 48         # insert table slots
+    arena_size: int = 8192    # per-instance byte arena
+    pool_size: int = 96       # list-element pool entries
+    out_size: int = 4096      # output buffer bytes
+    max_loops: int = 8        # concurrently-nested for-loop counters
+    max_subst: int = 16       # interpolation substitutions per string
+    max_stars: int = 7        # wildcard '*' groups per pattern
+    max_fix: int = 24         # replace_map repeat_until_done iterations
+    max_list: int = 48        # max elements manipulated per list op
+
+    def smaller(self, **kw):
+        from dataclasses import replace
+        return replace(self, **kw)
+
+
+DEFAULT = VMConfig()
+
+# Instance status codes
+RUNNING = 0
+DONE = 1
+PARKED = 2    # waiting for host IO (park_kind says why)
+ERROR = 3
+OVERFLOW = 4  # capacity exceeded; host rescue required
+
+# Park kinds (host ring request types)
+PARK_USER_INPUT = 1
+PARK_USER_CHOICE = 2
+PARK_AWAIT_INSERT = 3
+PARK_CHAT = 4
+PARK_WRITE = 5
+PARK_SPEAK = 6
+PARK_SHOW_INSERTS = 7
+PARK_SLEEP = 8
+PARK_HOST_OP = 9   # anything the device lowers to "run this task on host"
