@@ -53,6 +53,10 @@ def _tokenize(s: str):
             tokens.append(("op", "**"))
             i += 2
             continue
+        if c == "/" and i + 1 < n and s[i + 1] == "/":
+            tokens.append(("op", "//"))
+            i += 2
+            continue
         if c in "+-*/%":
             tokens.append(("op", c))
             i += 1
@@ -64,7 +68,7 @@ def _tokenize(s: str):
 # binding powers: (left, right); '**' is right-associative and binds tighter
 # than unary minus on its left (Python: -2**2 == -4).
 _BINARY_BP = {"+": (1, 2), "-": (1, 2), "*": (3, 4), "/": (3, 4), "%": (3, 4),
-              "**": (7, 6)}
+              "//": (3, 4), "**": (7, 6)}
 _UNARY_BP = 5
 
 
@@ -107,6 +111,8 @@ class _Pratt:
                 lhs = lhs * rhs
             elif op == "/":
                 lhs = lhs / rhs
+            elif op == "//":
+                lhs = lhs // rhs
             elif op == "%":
                 lhs = lhs % rhs
             elif op == "**":
