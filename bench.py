@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark: batched VM task throughput on the available accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: a compute-heavy program spine exercising the hot device opcodes
+(interpolation, math, goto_map branching, set) over N concurrent instances —
+the BASELINE.json configuration ("batched tasks/sec/chip"). The reference
+publishes no numbers (BASELINE.md), so vs_baseline is measured against the
+driver's north-star target of 10M tasks/sec/chip.
+
+Task accounting is honest: the value counts executed VM instructions
+(sum of per-instance step counters), not wall-clock × batch.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TARGET_TASKS_PER_SEC = 10_000_000.0
+
+BENCH_PROGRAM = """
+{
+    default_state: {order_index: 1, inserts: {i: 0, acc: 0, word: 'spin'}},
+    order: [
+        {cmd:'label', name:'@loop'},
+        {cmd:'math', input:'{i} + 1', output_name:'i'},
+        {cmd:'set', item:'state-{i}', output_name:'tag'},
+        {cmd:'math', input:'{acc} + {i} % 7', output_name:'acc'},
+        {cmd:'goto_map', text:'{word}-{i}', target_maps:[
+            {'spin-512': '@end'},
+            {'spin-*': '@loop'},
+            {'*': '@loop'},
+        ]},
+        {cmd:'label', name:'@end'},
+        {cmd:'print', text:'done acc={acc}'},
+    ],
+    named_tasks: {}, save_states: {},
+}
+"""
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from interpolation_engine_tpu import json5
+    from interpolation_engine_tpu.compiler import compile_program
+    from interpolation_engine_tpu.programs.loader import add_line_numbers
+    from interpolation_engine_tpu.programs.validator import validate_program
+    from interpolation_engine_tpu.vm.config import VMConfig
+    from interpolation_engine_tpu.vm.driver import DeviceRunner
+
+    platform = jax.devices()[0].platform
+    on_accel = platform not in ("cpu",)
+
+    n_instances = int(os.environ.get(
+        "BENCH_INSTANCES", 100_000 if on_accel else 2_000))
+    inner_steps = int(os.environ.get("BENCH_INNER_STEPS", 256))
+    rounds = int(os.environ.get("BENCH_ROUNDS", 8))
+
+    cfg = VMConfig(max_str=128, max_key=32, n_slots=16, arena_size=2048,
+                   pool_size=16, out_size=256, max_subst=8, max_stars=2,
+                   max_list=8, max_fix=8)
+
+    program = json5.loads(add_line_numbers(BENCH_PROGRAM))
+    validate_program(program)
+    compiled = compile_program(program)
+    assert not compiled.host_only
+
+    runner = DeviceRunner(compiled, cfg, mode="jit")
+    batch = runner.make_instances(n_instances)
+
+    # warmup + compile
+    t0 = time.perf_counter()
+    warm = runner._jitted(batch, 8)
+    jax.block_until_ready(warm.steps)
+    compile_s = time.perf_counter() - t0
+
+    state = batch
+    steps_before = int(np.asarray(jax.device_get(state.steps)).sum())
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        state = runner._jitted(state, inner_steps)
+    jax.block_until_ready(state.steps)
+    elapsed = time.perf_counter() - t0
+    steps_after = int(np.asarray(jax.device_get(state.steps)).sum())
+
+    executed = steps_after - steps_before
+    tasks_per_sec = executed / elapsed
+
+    result = {
+        "metric": f"batched VM tasks/sec ({n_instances} instances, {platform})",
+        "value": round(tasks_per_sec, 1),
+        "unit": "tasks/sec",
+        "vs_baseline": round(tasks_per_sec / TARGET_TASKS_PER_SEC, 4),
+    }
+    print(json.dumps(result))
+    print(f"# executed={executed} elapsed={elapsed:.3f}s "
+          f"compile={compile_s:.1f}s platform={platform}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Device-mesh scaling for the batched VM.
+
+The reference is a single-process interpreter with no distributed backend
+(SURVEY.md §2.4); the TPU-native scaling axis is *instance count*: program
+instances are embarrassingly parallel, so the batch shards purely
+data-parallel over a 1-D ``jax.sharding.Mesh`` — per-step collectives are
+not needed; ICI traffic occurs only when the host gathers parked instances
+and scatters responses. Program tables are replicated.
+
+Multi-host fan-out (DCN) would shard the same leading axis across processes;
+this module covers the single-controller multi-chip case the driver
+dry-runs on a virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(jax.experimental.mesh_utils.create_device_mesh(
+        (len(devices),), devices=devices), (axis,))
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "dp"):
+    """Shard every leaf of an instance batch along its leading axis."""
+    def shard_leaf(x):
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree.map(shard_leaf, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    def rep(x):
+        return jax.device_put(x, NamedSharding(mesh, P()))
+    return jax.tree.map(rep, tree)
+
+
+def batched_run_sharded(cfg, mesh: Mesh, axis: str = "dp"):
+    """A jitted sharded runner: (batch, tables, n_steps) → batch.
+
+    The batch stays sharded over `axis`; outputs keep the same sharding so
+    repeated steps never re-shuffle instances across chips.
+    """
+    from ..vm.step import make_generic_step
+
+    _, grun = make_generic_step(cfg)
+    vrun = jax.vmap(grun, in_axes=(0, None, None))
+
+    def out_shardings_for(batch):
+        def leaf(x):
+            return NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
+        return jax.tree.map(leaf, batch)
+
+    def run(batch, tables, n_steps: int):
+        return vrun(batch, tables, n_steps)
+
+    return jax.jit(run, static_argnums=(2,))

@@ -30,9 +30,11 @@ def normalize(buf: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
 
 
 def from_table(table: jnp.ndarray, off, length, size: int):
-    """Copy `length` bytes at `off` from a flat table into a size-`size` buf."""
-    if table.shape[0] < size:
-        table = jnp.pad(table, (0, size - table.shape[0]))
+    """Copy `length` bytes at `off` from a flat table into a size-`size` buf.
+
+    The table is padded by `size` so any in-bounds offset slices cleanly.
+    """
+    table = jnp.pad(table, (0, size))
     off = jnp.clip(jnp.asarray(off, jnp.int32), 0, table.shape[0] - size)
     chunk = jax.lax.dynamic_slice(table, (off,), (size,))
     return normalize(chunk, length), jnp.asarray(length, jnp.int32)

@@ -1,0 +1,271 @@
+"""Device VM driver: batched step loop + host IO ring.
+
+Runs N program instances in lockstep on the accelerator (``jit(vmap(run))``)
+and services parked instances on the host (SURVEY.md §7.1(5)): an instance
+hitting a blocking or device-unsupported instruction parks; the driver
+decodes its state to a Python dict, executes the *original task* with the
+exact host executor (so chat/user IO/filesystem/TTS and every error message
+behave identically to the oracle), re-encodes — which also compacts arena
+garbage — and resumes it. Instances never block the device step loop.
+
+Programs flagged host_only (parallel blocks, dynamic task lists) run
+entirely on the host engine, one asyncio task per instance.
+"""
+
+from __future__ import annotations
+
+import asyncio
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.context import CTX, ESCAPE, INSERT_START, INSERT_STOP
+from ..core.executor import Runtime, execute_task
+from ..core.interp import InterpolationException
+from ..compiler.lower import CompiledProgram, compile_program
+from ..io.manager import BufferBackend, IOManager
+from ..programs.loader import load
+from .config import (
+    DONE,
+    ERROR,
+    PARKED,
+    PARK_AWAIT_INSERT,
+    RUNNING,
+    VMConfig,
+)
+from .state import (
+    VMInstance,
+    decode_inserts,
+    decode_output,
+    encode_instance,
+    fnv1a_np,
+)
+from .step import Tables, make_generic_step, pack_tables
+
+_JITTED_CACHE: dict = {}
+
+
+def _get_jitted_run(cfg: VMConfig):
+    """One jitted batched runner per cfg; executables shared across programs
+    with equal padded table shapes (tables are traced arguments)."""
+    if cfg not in _JITTED_CACHE:
+        _, grun, _ = make_generic_step(cfg)
+        _JITTED_CACHE[cfg] = jax.jit(
+            jax.vmap(grun, in_axes=(0, None, None)), static_argnums=(2,))
+    return _JITTED_CACHE[cfg]
+
+
+@dataclass
+class InstanceResult:
+    output: str
+    inserts: dict
+    status: int
+    steps: int
+    error: Optional[str] = None
+
+
+def _stack(instances: list[VMInstance]) -> VMInstance:
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *instances)
+
+
+def _index(batch: VMInstance, i: int) -> VMInstance:
+    return jax.tree.map(lambda x: x[i], batch)
+
+
+def _scatter(batch: VMInstance, i: int, st: VMInstance) -> VMInstance:
+    return jax.tree.map(lambda b, v: b.at[i].set(v), batch, st)
+
+
+class DeviceRunner:
+    """Run one compiled program over a batch of instances."""
+
+    def __init__(self, compiled: CompiledProgram, cfg: VMConfig = None,
+                 io_factory: Callable[[int], IOManager] = None,
+                 mode: str = "auto"):
+        """mode: 'jit' (compile the batched step — the accelerator path),
+        'eager' (per-instance concrete stepping — no whole-VM XLA compile;
+        used by tests and tiny CPU batches), or 'auto'."""
+        self.compiled = compiled
+        self.cfg = cfg or VMConfig()
+        self.io_factory = io_factory or (lambda i: IOManager(BufferBackend()))
+        self.tables = pack_tables(compiled)
+        if mode == "auto":
+            import os
+            on_cpu = jax.devices()[0].platform == "cpu"
+            mode = "eager" if (on_cpu and not os.environ.get("IE_TPU_JIT")) \
+                else "jit"
+        self.mode = mode
+        self._jitted_run = _get_jitted_run(self.cfg) if mode == "jit" else None
+        if mode == "eager":
+            from .step import make_generic_step
+            _, _, self._gstep = make_generic_step(self.cfg)
+        self.total_device_steps = 0
+
+    def _jitted(self, batch, inner_steps: int):
+        if self.mode == "jit":
+            return self._jitted_run(batch, self.tables, inner_steps)
+        # eager: step each instance with concrete opcodes (only the live
+        # switch branch executes; small primitives are compiled+cached)
+        from .config import RUNNING as _RUN
+        n = int(np.asarray(batch.status).shape[0])
+        for i in range(n):
+            st = _index(batch, i)
+            for _ in range(inner_steps):
+                if int(st.status) != _RUN:
+                    break
+                st = self._gstep(st, self.tables)
+            batch = _scatter(batch, i, st)
+        return batch
+
+    # ---- instance lifecycle ---------------------------------------------------
+
+    def make_instances(self, n: int, args: list[str] = ()) -> VMInstance:
+        program = self.compiled.program
+        base_inserts = dict(program["default_state"]["inserts"])
+        for i, arg in enumerate(args, start=1):
+            base_inserts[f"ARG{i}"] = (
+                arg.replace(INSERT_START, ESCAPE + INSERT_START)
+                   .replace(INSERT_STOP, ESCAPE + INSERT_STOP))
+        start_pc = 0
+        instances = [
+            encode_instance(base_inserts, self.cfg, pc=start_pc, rng=i + 1)
+            for i in range(n)
+        ]
+        return _stack(instances)
+
+    # ---- host ring ---------------------------------------------------------------
+
+    async def _service_instance(self, batch: VMInstance, i: int,
+                                rts: dict) -> VMInstance:
+        st = _index(batch, i)
+        pc = int(st.park_arg)
+        kind = int(st.park_kind)
+        task = self.compiled.source_tasks[pc]
+        inserts = decode_inserts(st)
+        state = {"inserts": inserts, "output": decode_output(st)}
+
+        if kind == PARK_AWAIT_INSERT and task is not None:
+            # non-blocking existence check; stays parked until the key exists
+            name = task.get("name")
+            from ..core.interp import get_simple_insertkey, interpolate_inserts
+            try:
+                resolved = name
+                key = get_simple_insertkey(name)
+                if key or INSERT_START in str(name):
+                    resolved = interpolate_inserts(inserts, name)
+            except InterpolationException:
+                resolved = None
+            if resolved is not None and resolved in inserts:
+                return self._resume(st, state, pc + 1)
+            return _index(batch, i)  # still parked
+
+        rt = rts.setdefault(i, Runtime(self.io_factory(i),
+                                       self.compiled.program.get(
+                                           "completion_args", {}),
+                                       self.compiled.program.get(
+                                           "named_tasks", {})))
+        if task is None:
+            raise RuntimeError(f"instance {i}: parked at pc={pc} with no "
+                               f"source task")
+        result = await execute_task(rt, state, task,
+                                    task.get("traceback_label", "?"))
+        if result is None:
+            next_pc = pc + 1
+        elif isinstance(result, dict) and "goto_target" in result:
+            target = result["goto_target"]
+            scope = self.compiled.scope_of[pc]
+            if target == "CONTINUE":
+                next_pc = pc + 1
+            else:
+                key = (scope, target)
+                if key not in self.compiled.label_names:
+                    raise ValueError(
+                        f"goto target '{target}' not found in scope")
+                next_pc = self.compiled.label_names[key]
+        else:
+            raise RuntimeError(f"unexpected task result: {result}")
+        return self._resume(st, state, next_pc)
+
+    def _resume(self, st: VMInstance, state: dict, next_pc: int) -> VMInstance:
+        fresh = encode_instance(
+            state["inserts"], self.cfg, output=state["output"], pc=next_pc,
+            counters=np.asarray(st.counters), rng=int(st.rng),
+            steps=int(st.steps) + 1)
+        return fresh._replace(status=jnp.int32(RUNNING))
+
+    # ---- main loop ------------------------------------------------------------------
+
+    async def run_async(self, batch: VMInstance, *, inner_steps: int = 64,
+                        max_rounds: int = 10_000) -> VMInstance:
+        rts: dict = {}
+        stalled_rounds = 0
+        for round_no in range(max_rounds):
+            batch = self._jitted(batch, inner_steps)
+            status = np.asarray(batch.status)
+            self.total_device_steps += inner_steps
+            parked = np.nonzero(status == PARKED)[0]
+            if len(parked) == 0:
+                if not (status == RUNNING).any():
+                    break
+                continue
+            serviced = await asyncio.gather(*[
+                self._service_instance(batch, int(i), rts) for i in parked])
+            resumed = 0
+            for i, st in zip(parked, serviced):
+                if int(st.status) != PARKED:
+                    resumed += 1
+                batch = _scatter(batch, int(i), st)
+            status = np.asarray(batch.status)
+            if not ((status == RUNNING) | (status == PARKED)).any():
+                break
+            if not (status == RUNNING).any() and resumed == 0:
+                # every live instance is parked and nothing unblocked
+                # (await_insert with no writer) — give external drivers a
+                # breather, then retry a few times before declaring deadlock
+                stalled_rounds += 1
+                if stalled_rounds > 50:
+                    break
+                await asyncio.sleep(0.05)
+            else:
+                stalled_rounds = 0
+        return batch
+
+    def run(self, batch: VMInstance, **kw) -> VMInstance:
+        return asyncio.run(self.run_async(batch, **kw))
+
+    def results(self, batch: VMInstance) -> list[InstanceResult]:
+        out = []
+        n = int(np.asarray(batch.status).shape[0])
+        for i in range(n):
+            st = _index(batch, i)
+            out.append(InstanceResult(
+                output=decode_output(st),
+                inserts=decode_inserts(st),
+                status=int(st.status),
+                steps=int(st.steps),
+            ))
+        return out
+
+
+def run_program_on_device(filepath: str, args: list[str], io,
+                          batch: int = 1) -> int:
+    """CLI entry: run a program on the device engine (host fallback)."""
+    import os
+    CTX.program_dir = os.path.dirname(os.path.abspath(filepath))
+    program, _state = load(filepath)
+    compiled = compile_program(program)
+    if compiled.host_only:
+        # exact host engine (reason: parallel blocks / dynamic task lists)
+        from ..core.runtime import async_main
+        asyncio.run(async_main(filepath, list(args), io))
+        return 0
+    runner = DeviceRunner(compiled, io_factory=lambda i: io)
+    instances = runner.make_instances(batch, args)
+    final = runner.run(instances)
+    results = runner.results(final)
+    print(results[0].output.strip())
+    return 0

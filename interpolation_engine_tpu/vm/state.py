@@ -274,6 +274,29 @@ def encode_inserts(inserts: dict, cfg: VMConfig, seed: int = 0) -> VMInstance:
     return VMInstance(**{k: jnp.asarray(v) for k, v in st.items()})
 
 
+def encode_instance(inserts: dict, cfg: VMConfig, *, output: str = "",
+                    pc: int = 0, counters=None, rng: int = 0,
+                    steps: int = 0) -> VMInstance:
+    """Full instance encode: inserts + output buffer + control state."""
+    st = encode_inserts(inserts, cfg, seed=rng)
+    out_data = output.encode("utf-8")
+    if len(out_data) > cfg.out_size:
+        raise HostCodecError("output buffer overflow while encoding")
+    out = np.zeros((cfg.out_size,), np.uint8)
+    out[:len(out_data)] = list(out_data)
+    ctr = np.zeros((cfg.max_loops,), np.int32)
+    if counters is not None:
+        ctr[:len(counters)] = counters
+    return st._replace(
+        pc=jnp.int32(pc),
+        out=jnp.asarray(out),
+        out_len=jnp.int32(len(out_data)),
+        counters=jnp.asarray(ctr),
+        rng=jnp.uint32(rng),
+        steps=jnp.int32(steps),
+    )
+
+
 def decode_inserts(st: VMInstance) -> dict:
     """Read the insert store back into a Python dict (host-side)."""
     arena = np.asarray(st.arena)

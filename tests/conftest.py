@@ -43,3 +43,12 @@ def clean_context():
 
 
 REFERENCE_EXAMPLES = "/root/reference/examples"
+
+
+# Persistent XLA compilation cache: heavy VM-step compiles survive reruns.
+try:
+    import jax as _jax
+    _jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_ie_tpu")
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
