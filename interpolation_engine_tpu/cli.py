@@ -55,6 +55,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Number of program instances (device engine).")
     parser.add_argument("--tui", action="store_true",
                         help="Use the full-screen terminal UI.")
+    parser.add_argument("--analyze", action="store_true",
+                        help="Print extended static-analysis diagnostics and "
+                             "exit without running.")
+    parser.add_argument("--audio-web", action="store_true",
+                        help="Serve TTS audio over HTTP instead of pw-play.")
+    parser.add_argument("--audio-port", type=int, default=8765,
+                        help="Port for --audio-web.")
+    parser.add_argument("--log-json", dest="log_json_path",
+                        help="Also write structured JSON-lines events here.")
     return parser
 
 
@@ -76,6 +85,21 @@ def main(argv=None):
                   f"'{args.inserts_dir}'.")
             return 1
         CTX.inserts_dir = args.inserts_dir
+
+    if args.log_json_path:
+        from .core.events import EVENTS
+        EVENTS.json_sink = open(args.log_json_path, "a")
+
+    if args.analyze:
+        from .programs.analyzer import analyze_program
+        from .programs.loader import load
+        CTX.program_dir = os.path.dirname(os.path.abspath(args.program))
+        program, _ = load(args.program)
+        diagnostics = analyze_program(program)
+        for diag in diagnostics:
+            print(diag)
+        print(f"{len(diagnostics)} diagnostic(s).")
+        return 0 if not diagnostics else 2
 
     if args.agent_mode:
         backend = AgentBackend(args.agent_output, args.agent_input)

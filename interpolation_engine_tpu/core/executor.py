@@ -37,6 +37,7 @@ from .interp import (
 )
 from .math_eval import eval_math
 from .wildcard import get_wildcard_matches, is_wildcard_match
+from .events import EVENTS, TASK_START, GOTO_MAP as EV_GOTO_MAP
 
 
 class Runtime:
@@ -123,6 +124,7 @@ async def execute_task(rt: Runtime, state: dict, task: dict, runtime_label: str)
     inserts = state["inserts"]
     log(f"🛈  Order Item {task['traceback_label']}:  {task_preview(task)}",
         flush=True)
+    EVENTS.task_start(task)
 
     task = recursive_interpolate(inserts, task)
     cmd = task["cmd"]

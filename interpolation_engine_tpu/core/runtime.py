@@ -185,4 +185,9 @@ async def async_main(filepath: str, args: list[str], io) -> dict:
         "Specify a single program (.json5 file) to run and optionally pass "
         "arguments that the program will handle.")
     run = ProgramRun(filepath, args, io)
+    # full-screen backends route Esc/Ctrl-D into the runtime menu arbitration
+    backend = getattr(io, "backend", None)
+    if backend is not None and hasattr(backend, "on_menu"):
+        backend.on_menu = run.toggle_menu
+        backend.on_kill = run.kill
     return await run.run()

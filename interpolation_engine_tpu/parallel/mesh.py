@@ -49,7 +49,7 @@ def batched_run_sharded(cfg, mesh: Mesh, axis: str = "dp"):
     """
     from ..vm.step import make_generic_step
 
-    _, grun = make_generic_step(cfg)
+    _, grun, _ = make_generic_step(cfg)
     vrun = jax.vmap(grun, in_axes=(0, None, None))
 
     def out_shardings_for(batch):

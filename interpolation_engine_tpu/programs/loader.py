@@ -57,10 +57,15 @@ def load(filepath: str) -> tuple[dict, dict]:
         program = copy.deepcopy(_cache_program)
     else:
         log("🛈  Load cache miss.")
-        if not filepath.endswith(".json5"):
+        if filepath.endswith(".prog"):
+            from ..tools.prog_parser import load_prog_program
+            program = load_prog_program(file_content)
+        elif filepath.endswith(".json5"):
+            program = json5.loads(add_line_numbers(file_content))
+        else:
             raise ValueError(
-                f"File '{filepath}' has an unknown extension. .json5 is supported.")
-        program = json5.loads(add_line_numbers(file_content))
+                f"File '{filepath}' has an unknown extension. .json5 and "
+                f".prog are supported.")
         if "named_tasks" not in program and isinstance(program.get("tasks"), dict):
             program["named_tasks"] = program.pop("tasks")
         validate_program(program)

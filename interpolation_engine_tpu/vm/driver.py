@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.context import CTX, ESCAPE, INSERT_START, INSERT_STOP
+from ..core.events import EVENTS, VM_PARK, VM_RESUME, VM_ROUND, VM_STATS
 from ..core.executor import Runtime, execute_task
 from ..core.interp import InterpolationException
 from ..compiler.lower import CompiledProgram, compile_program
@@ -171,6 +172,8 @@ class DeviceRunner:
         if task is None:
             raise RuntimeError(f"instance {i}: parked at pc={pc} with no "
                                f"source task")
+        EVENTS.emit(VM_PARK, label=task.get("traceback_label", "?"),
+                    instance=i, pc=pc, park_kind=kind)
         result = await execute_task(rt, state, task,
                                     task.get("traceback_label", "?"))
         if result is None:
@@ -212,6 +215,9 @@ class DeviceRunner:
                 if not (status == RUNNING).any():
                     break
                 continue
+            EVENTS.emit(VM_ROUND, round=round_no,
+                        running=int((status == RUNNING).sum()),
+                        parked=len(parked))
             serviced = await asyncio.gather(*[
                 self._service_instance(batch, int(i), rts) for i in parked])
             resumed = 0
