@@ -357,8 +357,11 @@ class _Builder:
             self.emit_park(PARK_SHOW_INSERTS, t)
 
         elif cmd in ("parallel_wait", "parallel_race"):
-            raise _HostOnly(f"{cmd} requires the host engine (device threads "
-                            f"are a later milestone)")
+            # The whole parallel block runs on the host ring with true
+            # asyncio semantics (concurrency, race cancellation, raced
+            # sub-cursor purge) while the rest of the program stays on
+            # device. Device-native thread slots are a later milestone.
+            self.emit_park(PARK_HOST_OP, t)
         else:
             self.emit_park(PARK_HOST_OP, t)
 

@@ -172,6 +172,11 @@ class DeviceRunner:
         if task is None:
             raise RuntimeError(f"instance {i}: parked at pc={pc} with no "
                                f"source task")
+        # device-side prints only touched the instance's output buffer; sync
+        # the IO backend so agent payloads carry the current screen content
+        backend = getattr(rt.io, "backend", None)
+        if backend is not None and hasattr(backend, "output_text"):
+            backend.output_text = state["output"]
         EVENTS.emit(VM_PARK, label=task.get("traceback_label", "?"),
                     instance=i, pc=pc, park_kind=kind)
         result = await execute_task(rt, state, task,
