@@ -47,6 +47,10 @@ def splice_key_into_json5(content: str, key: str, new_value: dict,
 
     line_start = content.rfind("\n", 0, match.start()) + 1
     key_indent = content[line_start:match.start()]
+    if key_indent.strip():
+        # the key shares its line with other content (the reference would
+        # corrupt the file here); indent with the line's whitespace only
+        key_indent = key_indent[:len(key_indent) - len(key_indent.lstrip())]
 
     dumped = json5.dumps(new_value, indent=n_indent, ensure_ascii=True,
                          sort_keys=True)

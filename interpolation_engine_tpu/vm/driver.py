@@ -248,6 +248,60 @@ class DeviceRunner:
     def run(self, batch: VMInstance, **kw) -> VMInstance:
         return asyncio.run(self.run_async(batch, **kw))
 
+    # ---- save/load (reference-format state dicts) -----------------------------
+
+    def export_state(self, batch: VMInstance, i: int) -> dict:
+        """Decode instance i into the reference's runtime-state dict shape.
+
+        ``order_index`` comes from the pc→order-index map; a pc inside a
+        flattened block maps to its enclosing top-level task, so resuming a
+        mid-block save restarts that block (the host engine preserves exact
+        mid-block cursors — use it when that fidelity matters).
+        """
+        st = _index(batch, i)
+        pc = min(int(st.pc), len(self.compiled.order_index_of) - 1)
+        return {
+            "order_index": self.compiled.order_index_of[pc],
+            "inserts": decode_inserts(st),
+            "output": decode_output(st),
+        }
+
+    def save_to_program(self, batch: VMInstance, i: int, slot: str,
+                        label: str, filepath: str):
+        """Splice instance i's state into the program file's save_states
+        (comment-preserving, like the host menu's Save State)."""
+        from ..core.persistence import save_program
+        state = self.export_state(batch, i)
+        state["label"] = label
+        self.compiled.program.setdefault("save_states", {})[str(slot)] = state
+        save_program(self.compiled.program, filepath)
+
+    def load_state(self, state: dict, *, seed: int = 0) -> VMInstance:
+        """Encode a reference-format state dict as a device instance.
+
+        States carrying nested block cursors (``order_index/...`` keys)
+        cannot resume mid-block on the flat table; they are rejected — run
+        those on the host engine.
+        """
+        nested = [k for k in state if k.startswith("order_index/")]
+        if nested:
+            raise ValueError(
+                f"state has nested block cursors {nested}; mid-block resume "
+                f"requires the host engine")
+        order_index = state.get("order_index", 1)
+        pc = self.pc_of_order_index(order_index)
+        inserts = {k: v for k, v in state.get("inserts", {}).items()}
+        return encode_instance(inserts, self.cfg,
+                               output=state.get("output", ""),
+                               pc=pc, rng=seed)
+
+    def pc_of_order_index(self, order_index: int) -> int:
+        """First instruction belonging to the 1-based top-level task index."""
+        for pc, oi in enumerate(self.compiled.order_index_of):
+            if oi >= order_index and self.compiled.scope_of[pc] == 0:
+                return pc
+        return len(self.compiled.order_index_of) - 1  # → HALT
+
     def results(self, batch: VMInstance) -> list[InstanceResult]:
         out = []
         n = int(np.asarray(batch.status).shape[0])
