@@ -41,15 +41,16 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(rep, tree)
 
 
-def batched_run_sharded(cfg, mesh: Mesh, axis: str = "dp"):
+def batched_run_sharded(cfg, mesh: Mesh, axis: str = "dp", ops=None):
     """A jitted sharded runner: (batch, tables, n_steps) → batch.
 
     The batch stays sharded over `axis`; outputs keep the same sharding so
-    repeated steps never re-shuffle instances across chips.
+    repeated steps never re-shuffle instances across chips. ``ops``
+    specializes dispatch to a program's opcode set (smaller compiles).
     """
     from ..vm.step import make_generic_step
 
-    _, grun, _ = make_generic_step(cfg)
+    _, grun, _ = make_generic_step(cfg, ops)
     vrun = jax.vmap(grun, in_axes=(0, None, None))
 
     def out_shardings_for(batch):

@@ -50,14 +50,17 @@ from .step import Tables, make_generic_step, pack_tables
 _JITTED_CACHE: dict = {}
 
 
-def _get_jitted_run(cfg: VMConfig):
-    """One jitted batched runner per cfg; executables shared across programs
-    with equal padded table shapes (tables are traced arguments)."""
-    if cfg not in _JITTED_CACHE:
-        _, grun, _ = make_generic_step(cfg)
-        _JITTED_CACHE[cfg] = jax.jit(
+def _get_jitted_run(cfg: VMConfig, ops: frozenset = None):
+    """One jitted batched runner per (cfg, opcode set); executables shared
+    across programs with equal padded table shapes (tables are traced
+    arguments). ``ops`` specializes dispatch to the opcodes a program uses,
+    shrinking the compiled HLO (crucial on slow remote-compile paths)."""
+    key = (cfg, ops)
+    if key not in _JITTED_CACHE:
+        _, grun, _ = make_generic_step(cfg, ops)
+        _JITTED_CACHE[key] = jax.jit(
             jax.vmap(grun, in_axes=(0, None, None)), static_argnums=(2,))
-    return _JITTED_CACHE[cfg]
+    return _JITTED_CACHE[key]
 
 
 @dataclass
@@ -100,9 +103,12 @@ class DeviceRunner:
             mode = "eager" if (on_cpu and not os.environ.get("IE_TPU_JIT")) \
                 else "jit"
         self.mode = mode
-        self._jitted_run = _get_jitted_run(self.cfg) if mode == "jit" else None
+        from .step import used_opcodes
+        self._ops = used_opcodes(compiled)
+        self._jitted_run = _get_jitted_run(self.cfg, self._ops) \
+            if mode == "jit" else None
         if mode == "eager":
-            from .step import make_generic_step
+            # eager shares the unspecialized handler set across programs
             _, _, self._gstep = make_generic_step(self.cfg)
         self.total_device_steps = 0
 

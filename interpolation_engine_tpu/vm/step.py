@@ -85,6 +85,13 @@ def pack_tables(compiled: CompiledProgram) -> Tables:
     )
 
 
+def used_opcodes(compiled: CompiledProgram) -> frozenset:
+    """Opcodes present in a program (for step specialization)."""
+    import numpy as _np
+    return frozenset(int(op) for op in _np.unique(
+        _np.asarray(compiled.code)[:, 0]))
+
+
 def make_step(compiled: CompiledProgram, cfg: VMConfig):
     """Build (step, run) bound to this program's packed tables.
 
@@ -104,7 +111,15 @@ def make_step(compiled: CompiledProgram, cfg: VMConfig):
 
 
 @functools.lru_cache(maxsize=None)
-def make_generic_step(cfg: VMConfig):
+def make_generic_step(cfg: VMConfig, ops: frozenset = None):
+    """Build (step, run, eager_step) for a config.
+
+    ``ops`` optionally restricts the dispatch to a set of opcodes: handlers
+    outside the set become parks (they can never be hit for a program whose
+    code only contains ``ops``), which shrinks the compiled HLO dramatically
+    — important on the slow remote-compile path. ``None`` keeps all
+    handlers (the shareable default).
+    """
     MS = cfg.max_str
 
     # Late-binding cell: `step` stores its traced table arguments here before
@@ -1027,7 +1042,7 @@ def make_generic_step(cfg: VMConfig):
                            park_kind=jnp.asarray(a, jnp.int32),
                            park_arg=st.pc)
 
-    handlers = [None] * isa.N_OPS
+    handlers = [h_park] * isa.N_OPS  # placeholder; filled below, masked by ops
     handlers[isa.OP_HALT] = h_halt
     handlers[isa.OP_PRINT] = h_print
     handlers[isa.OP_SET] = h_set
@@ -1051,6 +1066,13 @@ def make_generic_step(cfg: VMConfig):
     handlers[isa.OP_FOR_NEXT] = h_for_next
     handlers[isa.OP_PARK] = h_park
     handlers[isa.OP_NOP] = h_nop
+
+    if ops is not None:
+        # specialize: opcodes this program can never execute fall back to
+        # h_park (harmless — unreachable — but tiny to compile)
+        keep = set(ops) | {isa.OP_HALT, isa.OP_PARK}
+        handlers = [h if i in keep else h_park
+                    for i, h in enumerate(handlers)]
 
     def step(st: VMInstance, tables: Tables) -> VMInstance:
         _T["aux"] = tables.aux

@@ -298,8 +298,32 @@ def test_device_matches_reference_examples(capsys):
     capsys.readouterr()
 
 
-def test_text_adventure_is_host_only():
+def test_text_adventure_compiles_with_parallel_host_parks():
+    from interpolation_engine_tpu.vm import isa
     program, _ = load(f"{EXAMPLES}/text_adventure.json5")
     compiled = compile_program(program)
+    assert not compiled.host_only
+    # the parallel_race block lowered to a host park
+    park_tasks = [compiled.source_tasks[pc]
+                  for pc in range(compiled.n_instr)
+                  if compiled.code[pc][0] == isa.OP_PARK]
+    assert any(t and t.get("cmd") == "parallel_race" for t in park_tasks)
+
+
+def test_dynamic_task_list_is_host_only():
+    from interpolation_engine_tpu import json5
+    from interpolation_engine_tpu.programs.loader import add_line_numbers
+    from interpolation_engine_tpu.programs.validator import validate_program
+    src = """
+    {
+        default_state: {order_index: 1,
+                        inserts: {body: [{cmd:'print', text:'x', line:1}]}},
+        order: [ {cmd:'serial', tasks:'{body}'} ],
+        named_tasks: {}, save_states: {},
+    }
+    """
+    program = json5.loads(add_line_numbers(src))
+    validate_program(program)
+    compiled = compile_program(program)
     assert compiled.host_only
-    assert "parallel" in compiled.host_only_reason
+    assert "dynamic task list" in compiled.host_only_reason
