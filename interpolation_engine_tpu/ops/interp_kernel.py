@@ -197,7 +197,24 @@ def general_interpolate(st: VMInstance, buf, length, cfg: VMConfig):
     return buf, length, err
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_interpolate(cfg: VMConfig):
+    """Non-inlined jit of the kernel: instantiations inside the big step
+    function become XLA calls that the compiler dedupes, cutting trace and
+    compile size substantially."""
+    def f(st, buf, length):
+        return _interpolate_impl(st, buf, length, cfg)
+    return jax.jit(f, inline=False)
+
+
 def interpolate(st: VMInstance, buf, length, cfg: VMConfig) -> InterpResult:
+    return _jitted_interpolate(cfg)(st, buf, jnp.asarray(length, jnp.int32))
+
+
+def _interpolate_impl(st: VMInstance, buf, length, cfg: VMConfig) -> InterpResult:
     """Full interpolate_inserts: simple-key typed fast path + general loop."""
     n = cfg.max_str
     length = jnp.asarray(length, jnp.int32)

@@ -165,7 +165,22 @@ def _match_at_cut(subj, cut, pat, n_stars, seg_off, seg_len, max_stars: int):
     return ok, cap_off, cap_len
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_match(max_stars: int):
+    def f(pat, plen, subj, slen):
+        return _wildcard_match_impl(pat, plen, subj, slen, max_stars)
+    return jax.jit(f, inline=False)
+
+
 def wildcard_match(pat, plen, subj, slen, max_stars: int) -> MatchResult:
+    return _jitted_match(max_stars)(
+        pat, jnp.asarray(plen, jnp.int32), subj, jnp.asarray(slen, jnp.int32))
+
+
+def _wildcard_match_impl(pat, plen, subj, slen, max_stars: int) -> MatchResult:
     """Full match incl. the trailing-newline '$' quirk and greedy captures."""
     n_stars, seg_off, seg_len, supported = _segment_spans(pat, plen, max_stars)
 

@@ -318,7 +318,21 @@ def _has_only_enum_chars(buf, length):
     return jnp.all(legal | (pos >= length))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_eval_math(cfg: VMConfig):
+    def f(st, buf, length):
+        return _eval_math_bytes_impl(st, buf, length, cfg)
+    return jax.jit(f, inline=False)
+
+
 def eval_math_bytes(st: VMInstance, buf, length, cfg: VMConfig) -> EvalResult:
+    return _jitted_eval_math(cfg)(st, buf, jnp.asarray(length, jnp.int32))
+
+
+def _eval_math_bytes_impl(st: VMInstance, buf, length, cfg: VMConfig) -> EvalResult:
     """Full eval_math on an already-interpolated byte expression."""
     n = buf.shape[0]
     length = jnp.asarray(length, jnp.int32)
