@@ -898,8 +898,16 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
         use_buf = jnp.where(missing, null_buf, fin_buf)
         use_len = jnp.where(missing, null_ln, fin_len)
 
-        val = Value(jnp.int32(ERR_OK), jnp.int32(T_STR), jnp.int32(0),
-                    use_buf, use_len, jnp.int32(0), jnp.int32(0))
+        # non-string items pass through recursive_replace untouched in the
+        # reference (an int item is stored as-is, no matching)
+        item_is_int = (item.err == ERR_OK) & (item.vtype == T_INT)
+        val = Value(jnp.int32(ERR_OK),
+                    jnp.where(item_is_int, T_INT, T_STR).astype(jnp.int32),
+                    item.vint,
+                    jnp.where(item_is_int, jnp.zeros_like(use_buf), use_buf),
+                    jnp.where(item_is_int, 0, use_len),
+                    jnp.int32(0), jnp.int32(0))
+        hard = jnp.where(item_is_int, ERR_OK, hard)
         st2, seterr = set_value(st, nbuf, nlen, val)
         err = jnp.where(nerr != ERR_OK, nerr,
                         jnp.where(hard != ERR_OK, hard, seterr))
