@@ -44,7 +44,38 @@ BENCH_PROGRAM = """
 
 
 def main():
+    """Try the accelerator in a killable child first; its compile can exceed
+    any reasonable budget on remote-compile backends, in which case we fall
+    back to a CPU-jit measurement (clearly labeled) rather than hanging."""
+    if "--child" in sys.argv or os.environ.get("BENCH_NO_SUBPROCESS"):
+        return measure()
+
+    import subprocess
+    budget = float(os.environ.get("BENCH_COMPILE_BUDGET_S", 1500))
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            capture_output=True, text=True, timeout=budget)
+        if proc.returncode == 0 and proc.stdout.strip():
+            sys.stdout.write(proc.stdout)
+            sys.stderr.write(proc.stderr[-2000:])
+            return
+        sys.stderr.write(f"# device bench failed (rc={proc.returncode}); "
+                         f"falling back to CPU\n{proc.stderr[-1500:]}\n")
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(f"# device bench exceeded {budget:.0f}s compile "
+                         f"budget; falling back to CPU jit\n")
+    os.environ["BENCH_FORCE_CPU"] = "1"
+    os.environ.setdefault("BENCH_INSTANCES", "2000")
+    return measure()
+
+
+def measure():
     import jax
+
+    if os.environ.get("BENCH_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+
     import numpy as np
 
     from interpolation_engine_tpu import json5
@@ -74,9 +105,16 @@ def main():
     runner = DeviceRunner(compiled, cfg, mode="jit")
     batch = runner.make_instances(n_instances)
 
-    # warmup + compile
+    # persistent compile cache: TPU executables reload across processes
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_ie_tpu")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    # warmup + compile (same static inner_steps as the timed loop → one jit)
     t0 = time.perf_counter()
-    warm = runner._jitted(batch, 8)
+    warm = runner._jitted(batch, inner_steps)
     jax.block_until_ready(warm.steps)
     compile_s = time.perf_counter() - t0
 

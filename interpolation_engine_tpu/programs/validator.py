@@ -94,6 +94,14 @@ def validate_program(program: dict) -> list[ValidationWarning]:
         if task["cmd"] == "for":
             defined |= set(task["name_list_map"].keys())
         item = task.get("item", False)
+        if item and not isinstance(item, (str, list, dict)):
+            # preserved quirk: the reference probes `'cmd' in item` on any
+            # truthy item and TypeErrors on non-containers (e.g. int items),
+            # so such programs never load (interpolation_engine.py:1058-1059)
+            raise ProgramValidationError(
+                f"{task['traceback_label']}: field 'item' of type "
+                f"{type(item).__name__} is rejected at load (the reference "
+                f"TypeErrors probing it).")
         if item and isinstance(item, dict) and "cmd" in item:
             item["traceback_label"] = (
                 task["traceback_label"] + f"/{item['cmd']}-{item['line']}")

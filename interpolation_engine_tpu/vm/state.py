@@ -33,8 +33,7 @@ T_INT = 1
 T_STR = 2
 T_LIST = 3
 
-FNV_OFFSET = np.uint32(2166136261)
-FNV_PRIME = np.uint32(16777619)
+HASH_BASE = 1000003  # polynomial rolling-hash base (mod 2^32)
 
 
 class VMInstance(NamedTuple):
@@ -69,21 +68,30 @@ class VMInstance(NamedTuple):
 
 
 def fnv1a(buf: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
-    """FNV-1a over the first `length` bytes (vector-parallel free, loop ok)."""
-    n = buf.shape[0]
+    """Key hash: h = Σ (b[i]+1)·B^i (mod 2^32) over the first `length` bytes.
 
-    def body(i, h):
-        h = jnp.where(i < length,
-                      (h ^ buf[i].astype(jnp.uint32)) * FNV_PRIME, h)
-        return h
-    return jax.lax.fori_loop(0, n, body, jnp.uint32(FNV_OFFSET))
+    Fully vectorized (cumprod of powers + masked dot) — no sequential loop,
+    which matters for TPU compile time since this sits inside every store
+    lookup. Length is mixed in implicitly by the +1 term. Must match
+    fnv1a_np (host codec / compiler label hashes).
+    """
+    n = buf.shape[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    base = jnp.full((n,), HASH_BASE, jnp.uint32)
+    powers = jnp.concatenate([jnp.ones((1,), jnp.uint32),
+                              jnp.cumprod(base)[:-1]])
+    terms = jnp.where(pos < length,
+                      (buf.astype(jnp.uint32) + 1) * powers, 0)
+    return jnp.sum(terms, dtype=jnp.uint32)
 
 
 def fnv1a_np(data: bytes) -> np.uint32:
-    h = np.uint32(2166136261)
+    h = 0
+    p = 1
     for b in data:
-        h = np.uint32((int(h) ^ b) * 16777619 & 0xFFFFFFFF)
-    return h
+        h = (h + (b + 1) * p) & 0xFFFFFFFF
+        p = (p * HASH_BASE) & 0xFFFFFFFF
+    return np.uint32(h)
 
 
 def fresh_instance(cfg: VMConfig, seed: int = 0) -> VMInstance:

@@ -50,7 +50,7 @@ def gen_program(rng: random.Random):
         if kind == "print":
             tasks.append({"cmd": "print", "text": rand_text()})
         elif kind == "set":
-            value = rng.choice([rand_text(), rng.randint(-5, 50),
+            value = rng.choice([rand_text(), str(rng.randint(-5, 50)),
                                 ["p", "q"], "{la}"])
             tasks.append({"cmd": "set", "item": value,
                           "output_name": rng.choice(keys)})
@@ -67,7 +67,7 @@ def gen_program(rng: random.Random):
                           "after": "", "output_name": rng.choice(keys)})
         elif kind == "append":
             tasks.append({"cmd": "list_append", "list": "{la}",
-                          "item": rng.choice(["w", 9]),
+                          "item": rng.choice(["w", "9"]),
                           "output_name": "la"})
         elif kind == "index":
             tasks.append({"cmd": "list_index", "list": "{la}",
