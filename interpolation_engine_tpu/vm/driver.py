@@ -15,6 +15,7 @@ entirely on the host engine, one asyncio task per instance.
 from __future__ import annotations
 
 import asyncio
+import os
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
@@ -131,18 +132,53 @@ class DeviceRunner:
     # ---- instance lifecycle ---------------------------------------------------
 
     def make_instances(self, n: int, args: list[str] = ()) -> VMInstance:
+        """N identical fresh instances (distinct PRNG streams).
+
+        Encodes once and broadcasts — a Python loop over 100k instances
+        would dominate startup and blow host memory in jnp.stack.
+        """
         program = self.compiled.program
-        base_inserts = dict(program["default_state"]["inserts"])
+        base_inserts = self._inserts_dir_values()
+        base_inserts.update(program["default_state"]["inserts"])
         for i, arg in enumerate(args, start=1):
             base_inserts[f"ARG{i}"] = (
                 arg.replace(INSERT_START, ESCAPE + INSERT_START)
                    .replace(INSERT_STOP, ESCAPE + INSERT_STOP))
-        start_pc = 0
-        instances = [
-            encode_instance(base_inserts, self.cfg, pc=start_pc, rng=i + 1)
-            for i in range(n)
-        ]
-        return _stack(instances)
+        proto = encode_instance(base_inserts, self.cfg, pc=0, rng=1)
+        batch = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (n,) + x.shape), proto)
+        return batch._replace(
+            rng=(jnp.arange(n, dtype=jnp.uint32) + 1))
+
+    def _inserts_dir_values(self) -> dict:
+        """Preload --inserts-dir files into the device store.
+
+        The host resolves dir keys lazily with lower precedence than
+        state['inserts'] (core/interp.py); preloading them before the
+        program's own defaults reproduces that precedence on device. Known
+        divergence: a program that deletes such a key would still see the
+        dir fallback on the host — rare enough to accept (the ring decodes
+        do not carry dir values, so host-serviced ops behave exactly).
+        """
+        import glob as glob_mod
+        from ..core.interp import recursive_escape
+        from .. import json5 as json5_mod
+        values: dict = {}
+        if not CTX.inserts_dir:
+            return values
+        for path in glob_mod.glob(os.path.join(CTX.inserts_dir, "*")):
+            name = os.path.basename(path)
+            try:
+                if name.endswith(".json5"):
+                    with open(path) as f:
+                        values[name[:-len(".json5")]] = recursive_escape(
+                            json5_mod.loads(f.read()))
+                else:
+                    with open(path) as f:
+                        values[name] = recursive_escape(f.read().strip())
+            except (OSError, ValueError):
+                continue
+        return values
 
     # ---- host ring ---------------------------------------------------------------
 
