@@ -18,7 +18,7 @@ host engine instead (threaded device parallelism is a later milestone).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 
@@ -149,7 +149,6 @@ class _Builder:
         # map local label name → patch list / final pc
         label_pcs: dict[str, int] = {}
         pending_gotos: list[tuple[int, str]] = []           # (pc, label)
-        pending_dynamic: list[tuple[int, int]] = []          # filled later
 
         # first emit everything, remembering label positions
         for task in tasks:
@@ -159,9 +158,7 @@ class _Builder:
                 continue
             self.lower_task(task, scope_id, pending_gotos, named_stack)
 
-        end_pc = len(self.code)
-
-        # labels whose jump target is past the end point at end_pc
+        # resolve local gotos (a target may legitimately sit at end-of-scope)
         for pc, name in pending_gotos:
             if name == "CONTINUE":
                 continue

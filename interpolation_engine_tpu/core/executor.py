@@ -37,7 +37,7 @@ from .interp import (
 )
 from .math_eval import eval_math
 from .wildcard import get_wildcard_matches, is_wildcard_match
-from .events import EVENTS, TASK_START, GOTO_MAP as EV_GOTO_MAP
+from .events import EVENTS
 
 
 class Runtime:

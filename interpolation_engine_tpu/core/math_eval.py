@@ -16,7 +16,7 @@ like the reference's Rust sibling does with a shunting-yard evaluator
 from __future__ import annotations
 
 from .context import log
-from .interp import InterpolationException, get_interpdata, interpolate_inserts, py_str
+from .interp import get_interpdata, interpolate_inserts, py_str
 
 LEGAL_TERMINALS = set(" .0123456789+-*/%")
 _OPERATOR_CHARS = set("+-*/^%")

@@ -32,7 +32,6 @@ from .interp_kernel import (
     ERR_ASSERT,
     ERR_CAPACITY,
     ERR_HOST,
-    ERR_MISSING,
     ERR_OK,
     lookup,
 )

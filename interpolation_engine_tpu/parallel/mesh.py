@@ -15,7 +15,6 @@ dry-runs on a virtual CPU mesh.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import asyncio
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 import numpy as np
@@ -25,28 +25,20 @@ import jax
 import jax.numpy as jnp
 
 from ..core.context import CTX, ESCAPE, INSERT_START, INSERT_STOP
-from ..core.events import EVENTS, VM_PARK, VM_RESUME, VM_ROUND, VM_STATS
+from ..core.events import EVENTS, VM_PARK, VM_ROUND
 from ..core.executor import Runtime, execute_task
 from ..core.interp import InterpolationException
 from ..compiler.lower import CompiledProgram, compile_program
 from ..io.manager import BufferBackend, IOManager
 from ..programs.loader import load
-from .config import (
-    DONE,
-    ERROR,
-    PARKED,
-    PARK_AWAIT_INSERT,
-    RUNNING,
-    VMConfig,
-)
+from .config import PARKED, PARK_AWAIT_INSERT, RUNNING, VMConfig
 from .state import (
     VMInstance,
     decode_inserts,
     decode_output,
     encode_instance,
-    fnv1a_np,
 )
-from .step import Tables, make_generic_step, pack_tables
+from .step import make_generic_step, pack_tables
 
 _JITTED_CACHE: dict = {}
 

@@ -34,7 +34,6 @@ from .state import (
     T_STR,
     VMInstance,
     arena_write,
-    find_slot,
     fnv1a,
     store_set,
 )
