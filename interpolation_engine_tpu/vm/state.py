@@ -65,6 +65,7 @@ class VMInstance(NamedTuple):
     counters: jnp.ndarray      # int32[MAX_LOOPS]
     rng: jnp.ndarray           # uint32 — per-instance PRNG counter/key
     steps: jnp.ndarray         # int32 — executed task count (metrics)
+    last_err: jnp.ndarray      # int32 — kernel error code that caused a park
 
 
 def fnv1a(buf: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
@@ -121,6 +122,7 @@ def fresh_instance(cfg: VMConfig, seed: int = 0) -> VMInstance:
         counters=jnp.zeros((cfg.max_loops,), jnp.int32),
         rng=jnp.uint32(seed),
         steps=jnp.int32(0),
+        last_err=jnp.int32(0),
     )
 
 

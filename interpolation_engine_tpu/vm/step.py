@@ -278,6 +278,7 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
             park_kind=jnp.where(ok, committed.park_kind, PARK_HOST_OP),
             park_arg=jnp.where(ok, committed.park_arg, st.pc),
             steps=st.steps + 1,
+            last_err=jnp.asarray(err, jnp.int32),
         )
 
     def pool_elem_value(st: VMInstance, idx) -> Value:
@@ -1090,7 +1091,13 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
         instr = code[pc]
         op = jnp.clip(instr[0], 0, isa.N_OPS - 1)
         active = st.status == RUNNING
-        new_st = jax.lax.switch(op, handlers, st, instr[1], instr[2], instr[3])
+        # fresh branch wrappers per trace: lax.switch caches branch jaxprs by
+        # function identity, and the stable handlers close over the
+        # late-bound _T tables — reusing a cached jaxpr would smuggle the
+        # previous trace's tracers in as constants
+        branches = [(lambda st, a, b, c, h=h: h(st, a, b, c))
+                    for h in handlers]
+        new_st = jax.lax.switch(op, branches, st, instr[1], instr[2], instr[3])
         return jax.tree.map(lambda a, b: jnp.where(active, b, a), st, new_st)
 
     def run(st: VMInstance, tables: Tables, n_steps: int) -> VMInstance:
