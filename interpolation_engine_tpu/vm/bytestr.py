@@ -221,12 +221,12 @@ def unescape_braces(buf, length):
     # overlapping windows cannot both match ('\' != '{').
     drop = (buf == BACKSLASH) & ((nxt == BRACE_OPEN) | (nxt == BRACE_CLOSE)) & (pos < length)
     keep = ~drop & (pos < length)
-    # compact kept bytes (dropped bytes scatter to a dummy slot)
-    idx = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    out = jnp.zeros((n + 1,), jnp.uint8)
-    out = out.at[jnp.where(keep, idx, n)].set(buf)
-    out = out[:n]
-    new_len = jnp.sum(keep.astype(jnp.int32))
+    # compact kept bytes via a gather: src(q) = index of the (q+1)-th kept
+    # byte (scatter compaction would serialize on TPU)
+    kept_cum = jnp.cumsum(keep.astype(jnp.int32))
+    new_len = kept_cum[-1]
+    src = jnp.searchsorted(kept_cum, pos + 1, side="left")
+    out = buf[jnp.clip(src, 0, n - 1)]
     return normalize(out, new_len), new_len
 
 
@@ -237,14 +237,20 @@ def escape_braces(buf, length, out_size: int):
     is_brace = ((buf == BRACE_OPEN) | (buf == BRACE_CLOSE)) & (pos < length)
     # output index of each input byte = pos + (#braces before it)
     braces_before = jnp.cumsum(is_brace.astype(jnp.int32)) - is_brace.astype(jnp.int32)
-    out_idx = pos + braces_before
-    valid = (pos < length) & (out_idx + 1 <= out_size)
-    # write backslash for braces at out_idx, byte itself at out_idx+is_brace
-    # (dummy slot out_size absorbs masked-off writes)
-    out = jnp.zeros((out_size + 1,), jnp.uint8)
-    out = out.at[jnp.where(valid & is_brace, out_idx, out_size)].set(BACKSLASH)
-    out = out.at[jnp.where(valid, out_idx + is_brace, out_size)].set(buf)
-    out = out[:out_size]
+    # the byte of source p lands at f[p]; braces get a backslash at f[p]-1.
+    # Gather formulation (scatters serialize on TPU): for each output q,
+    # find the source byte whose final position is q, else check whether q
+    # is the backslash directly before an escaped brace.
+    f = pos + braces_before + is_brace.astype(jnp.int32)
+    f = jnp.where(pos < length, f, 2 * n + 2)  # out-of-range sentinel
+    q = positions(out_size)
+    p_byte = jnp.searchsorted(f, q, side="left")
+    is_byte = (p_byte < n) & (f[jnp.clip(p_byte, 0, n - 1)] == q)
+    p_esc = jnp.searchsorted(f, q + 1, side="left")
+    is_esc = (p_esc < n) & (f[jnp.clip(p_esc, 0, n - 1)] == q + 1) & \
+        is_brace[jnp.clip(p_esc, 0, n - 1)]
+    out = jnp.where(is_byte, buf[jnp.clip(p_byte, 0, n - 1)],
+                    jnp.where(is_esc, BACKSLASH, 0)).astype(jnp.uint8)
     new_len = length + jnp.sum(is_brace.astype(jnp.int32))
     overflow = new_len > out_size
     return normalize(out, jnp.minimum(new_len, out_size)), \

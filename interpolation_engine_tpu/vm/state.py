@@ -130,16 +130,32 @@ def fresh_instance(cfg: VMConfig, seed: int = 0) -> VMInstance:
 # device-side store operations (single instance; vmap outside)
 # ---------------------------------------------------------------------------
 
+def _masked_slot_update(arr, slot, value):
+    """arr with arr[slot] = value, as a masked select (no scatter).
+
+    Under vmap, one-element ``.at[i].set`` lowers to a scatter with batched
+    indices — pathologically slow on TPU. A broadcast-compare select is a
+    single fused VPU op.
+    """
+    pos = positions(arr.shape[0])
+    return jnp.where(pos == slot, jnp.asarray(value, arr.dtype), arr)
+
+
 def arena_write(st: VMInstance, buf, length, cfg: VMConfig):
-    """Append bytes to the arena; returns (st', off, overflow)."""
+    """Append bytes to the arena; returns (st', off, overflow).
+
+    Scatter-free: the payload is logically shifted to the write offset and
+    merged with a range mask (vmapped dynamic_update_slice would lower to a
+    scatter).
+    """
+    from .bytestr import shift_right, _fit
     off = st.arena_top
     overflow = off + length > cfg.arena_size
-    safe_off = jnp.minimum(off, cfg.arena_size - buf.shape[0])
-    safe_off = jnp.maximum(safe_off, 0)
-    window = jax.lax.dynamic_slice(st.arena, (safe_off,), (buf.shape[0],))
-    pos = positions(buf.shape[0])
-    merged = jnp.where(pos < length, buf, window).astype(jnp.uint8)
-    arena = jax.lax.dynamic_update_slice(st.arena, merged, (safe_off,))
+    safe_off = jnp.clip(off, 0, cfg.arena_size - 1)
+    pos = positions(cfg.arena_size)
+    shifted = shift_right(_fit(buf, cfg.arena_size), safe_off)
+    write_mask = (pos >= safe_off) & (pos < safe_off + length) & ~overflow
+    arena = jnp.where(write_mask, shifted, st.arena).astype(jnp.uint8)
     st = st._replace(arena=arena,
                      arena_top=jnp.where(overflow, st.arena_top, off + length))
     return st, jnp.where(overflow, -1, safe_off), overflow
@@ -184,21 +200,22 @@ def store_set(st: VMInstance, key_buf, key_len, vtype, vint, voff, vlen,
 
     h = fnv1a(key_buf, key_len)
     st = st._replace(
-        occ=st.occ.at[use_slot].set(True),
-        key_hash=st.key_hash.at[use_slot].set(h),
-        key_off=st.key_off.at[use_slot].set(
+        occ=_masked_slot_update(st.occ, use_slot, True),
+        key_hash=_masked_slot_update(st.key_hash, use_slot, h),
+        key_off=_masked_slot_update(
+            st.key_off, use_slot,
             jnp.where(found, st.key_off[use_slot], key_off)),
-        key_len=st.key_len.at[use_slot].set(key_len),
-        vtype=st.vtype.at[use_slot].set(vtype),
-        vint=st.vint.at[use_slot].set(vint),
-        voff=st.voff.at[use_slot].set(voff),
-        vlen=st.vlen.at[use_slot].set(vlen),
+        key_len=_masked_slot_update(st.key_len, use_slot, key_len),
+        vtype=_masked_slot_update(st.vtype, use_slot, vtype),
+        vint=_masked_slot_update(st.vint, use_slot, vint),
+        voff=_masked_slot_update(st.voff, use_slot, voff),
+        vlen=_masked_slot_update(st.vlen, use_slot, vlen),
     )
     return st, overflow
 
 
 def store_delete(st: VMInstance, slot) -> VMInstance:
-    return st._replace(occ=st.occ.at[slot].set(False))
+    return st._replace(occ=_masked_slot_update(st.occ, slot, False))
 
 
 # ---------------------------------------------------------------------------

@@ -197,16 +197,14 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
                 arena_top=jnp.where(use_str, st2.arena_top, st.arena_top))
             idx = jnp.clip(pool_base + i, 0, cfg.pool_size - 1)
             pool_ov = (pool_base + i) >= cfg.pool_size
+            from .state import _masked_slot_update as _msu
+            write_slot = jnp.where(in_range, idx, -1)
             st2 = st2._replace(
-                pool_type=st2.pool_type.at[idx].set(
-                    jnp.where(in_range, val.vtype, st2.pool_type[idx])),
-                pool_int=st2.pool_int.at[idx].set(
-                    jnp.where(in_range, val.vint, st2.pool_int[idx])),
-                pool_off=st2.pool_off.at[idx].set(
-                    jnp.where(in_range, jnp.where(use_str, eoff, 0),
-                              st2.pool_off[idx])),
-                pool_len=st2.pool_len.at[idx].set(
-                    jnp.where(in_range, val.length, st2.pool_len[idx])),
+                pool_type=_msu(st2.pool_type, write_slot, val.vtype),
+                pool_int=_msu(st2.pool_int, write_slot, val.vint),
+                pool_off=_msu(st2.pool_off, write_slot,
+                              jnp.where(use_str, eoff, 0)),
+                pool_len=_msu(st2.pool_len, write_slot, val.length),
             )
             step_err = jnp.where(~in_range, ERR_OK,
                         jnp.where(elem_err != ERR_OK, elem_err,
@@ -558,35 +556,37 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
 
     def _copy_list_span(st, src_base, count, skip_idx=None):
         """Copy pool descriptors [src_base, src_base+count) to the pool top,
-        optionally skipping one index; returns (st', new_base, new_count, err)."""
+        optionally skipping one index; returns (st', new_base, new_count, err).
+
+        Vectorized: a masked gather over the whole pool (a per-element
+        scatter loop would serialize on TPU)."""
         dst_base = st.pool_top
-
-        def body(i, carry):
-            st, n_written, err = carry
-            in_range = i < count
-            skip = jnp.bool_(False) if skip_idx is None else (i == skip_idx)
-            do = in_range & ~skip
-            src = jnp.clip(src_base + i, 0, cfg.pool_size - 1)
-            dst = jnp.clip(dst_base + n_written, 0, cfg.pool_size - 1)
-            ov = (dst_base + n_written) >= cfg.pool_size
-            st2 = st._replace(
-                pool_type=st.pool_type.at[dst].set(st.pool_type[src]),
-                pool_int=st.pool_int.at[dst].set(st.pool_int[src]),
-                pool_off=st.pool_off.at[dst].set(st.pool_off[src]),
-                pool_len=st.pool_len.at[dst].set(st.pool_len[src]),
-            )
-            st = jax.tree.map(lambda x, y: jnp.where(do & ~ov, y, x), st, st2)
-            err = jnp.where(do & ov & (err == ERR_OK), ik.ERR_CAPACITY, err)
-            n_written = jnp.where(do & (err == ERR_OK), n_written + 1,
-                                  n_written)
-            return st, n_written, err
-
-        st, n_written, err = jax.lax.fori_loop(
-            0, cfg.max_list, body, (st, jnp.int32(0), jnp.int32(ERR_OK)))
-        err = jnp.where(count > cfg.max_list, ERR_HOST, err)
+        L = cfg.pool_size
+        pos = bs.positions(L)
+        j = pos - dst_base  # element ordinal landing at this dest slot
+        if skip_idx is None:
+            shift = jnp.zeros((L,), jnp.int32)
+            out_count = jnp.asarray(count, jnp.int32)
+        else:
+            has_skip = (skip_idx >= 0) & (skip_idx < count)
+            shift = jnp.where(has_skip & (j >= skip_idx), 1, 0)
+            out_count = jnp.asarray(count, jnp.int32) - \
+                jnp.where(has_skip, 1, 0)
+        src = jnp.clip(src_base + j + shift, 0, L - 1)
+        valid = (j >= 0) & (j < out_count)
+        st = st._replace(
+            pool_type=jnp.where(valid, st.pool_type[src], st.pool_type),
+            pool_int=jnp.where(valid, st.pool_int[src], st.pool_int),
+            pool_off=jnp.where(valid, st.pool_off[src], st.pool_off),
+            pool_len=jnp.where(valid, st.pool_len[src], st.pool_len),
+        )
+        overflow = dst_base + out_count > L
+        err = jnp.where(count > cfg.max_list, ERR_HOST,
+                        jnp.where(overflow, ik.ERR_CAPACITY, ERR_OK))
+        n_written = jnp.where(overflow, 0, out_count)
         st = st._replace(pool_top=jnp.where(err == ERR_OK,
                                             dst_base + n_written, st.pool_top))
-        return st, dst_base, n_written, err
+        return st, dst_base, n_written, err.astype(jnp.int32)
 
     def h_list_append(st, a, b, c):
         st1, lbase, lcnt, lerr = resolve_list_operand(st, a)
@@ -599,13 +599,14 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
         st3 = st3._replace(
             arena=jnp.where(use_str, st3.arena, st2.arena),
             arena_top=jnp.where(use_str, st3.arena_top, st2.arena_top))
+        from .state import _masked_slot_update as _msu
         dst = jnp.clip(new_base + new_cnt, 0, cfg.pool_size - 1)
         pool_ov = (new_base + new_cnt) >= cfg.pool_size
         st3 = st3._replace(
-            pool_type=st3.pool_type.at[dst].set(item.vtype),
-            pool_int=st3.pool_int.at[dst].set(item.vint),
-            pool_off=st3.pool_off.at[dst].set(jnp.where(use_str, ioff, 0)),
-            pool_len=st3.pool_len.at[dst].set(item.length),
+            pool_type=_msu(st3.pool_type, dst, item.vtype),
+            pool_int=_msu(st3.pool_int, dst, item.vint),
+            pool_off=_msu(st3.pool_off, dst, jnp.where(use_str, ioff, 0)),
+            pool_len=_msu(st3.pool_len, dst, item.length),
             pool_top=new_base + new_cnt + 1,
         )
         nbuf, nlen, nerr = interp_name(st3, axu(a + 6), axu(a + 7))
@@ -940,8 +941,9 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
                 0, 12, wc_body, (jnp.bool_(False), jnp.int32(ERR_OK)))
             werr = jnp.where(b > 12, ERR_HOST, werr)
             should_delete = jnp.where(keep_matching, ~any_match, any_match)
-            new_occ = st_c.occ.at[s].set(
-                jnp.where(occ & should_delete, False, st_c.occ[s]))
+            from .state import _masked_slot_update as _msu
+            new_occ = _msu(st_c.occ, jnp.where(occ & should_delete, s, -1),
+                           False)
             st_c = st_c._replace(occ=new_occ)
             err = jnp.where(occ & (werr != ERR_OK) & (err == ERR_OK),
                             werr, err)
@@ -1031,18 +1033,20 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
         st2, err1 = jax.lax.fori_loop(0, MAX_PAIRS, var_body,
                                       (st1, jnp.int32(ERR_OK)))
 
-        new_counters = st2.counters.at[jnp.clip(loop_id, 0,
-                                                cfg.max_loops - 1)].set(
-            jnp.where(exiting, 0, cur))
+        from .state import _masked_slot_update as _msu
+        new_counters = _msu(st2.counters,
+                            jnp.clip(loop_id, 0, cfg.max_loops - 1),
+                            jnp.where(exiting, 0, cur))
         st3 = st2._replace(counters=new_counters)
         err = jnp.where(err0 != ERR_OK, err0, err1)
         jump = jnp.where(exiting, exit_pc, st.pc + 1)
         return advance(st, err, st3, jump_pc=jump)
 
     def h_for_next(st, a, b, c):
+        from .state import _masked_slot_update as _msu
         loop_id = jnp.clip(jnp.asarray(b), 0, cfg.max_loops - 1)
-        st2 = st._replace(counters=st.counters.at[loop_id].set(
-            st.counters[loop_id] + 1))
+        st2 = st._replace(counters=_msu(st.counters, loop_id,
+                                        st.counters[loop_id] + 1))
         return advance(st, jnp.int32(ERR_OK), st2, jump_pc=jnp.asarray(a))
 
     def h_park(st, a, b, c):
