@@ -216,8 +216,9 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
                             step_err, err)
             return st, err
 
-        st, err = jax.lax.fori_loop(0, cfg.max_list, body,
-                                    (st, jnp.int32(ERR_OK)))
+        st, err = jax.lax.fori_loop(
+            0, jnp.clip(jnp.asarray(count), 0, cfg.max_list), body,
+            (st, jnp.int32(ERR_OK)))
         err = jnp.where(count > cfg.max_list, ERR_HOST, err)
         st = st._replace(pool_top=jnp.where(err == ERR_OK,
                                             pool_base + count, st.pool_top))
@@ -228,7 +229,8 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
         val, kind = resolve_vspec(st, base)
         is_literal = kind == isa.VK_LIST
         st2, lit_off, lit_cnt, lit_err = materialize_list(
-            st, axu(base + 1), axu(base + 2))
+            st, axu(base + 1),
+            jnp.where(is_literal, axu(base + 2), 0))
         # pick literal vs looked-up list
         pool_off = jnp.where(is_literal, lit_off, val.pool_off)
         count = jnp.where(is_literal, lit_cnt, val.pool_len)
@@ -337,7 +339,7 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
         val, kind = resolve_vspec(st, a + 2)
         is_literal_list = kind == isa.VK_LIST
         st2, lit_off, lit_cnt, lit_err = materialize_list(
-            st, axu(a + 3), axu(a + 4))
+            st, axu(a + 3), jnp.where(is_literal_list, axu(a + 4), 0))
         st_use = jax.tree.map(lambda x, y: jnp.where(is_literal_list, y, x),
                               st, st2)
         val = Value(
@@ -465,7 +467,7 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
         init = (jnp.bool_(False), zero, jnp.int32(0), zero,
                 jnp.int32(0), jnp.bool_(False), jnp.int32(ERR_OK))
         matched, tgt_buf, tgt_len, null_buf, null_len, has_null, loop_err = \
-            jax.lax.fori_loop(0, 32, body, init)
+            jax.lax.fori_loop(0, jnp.minimum(jnp.asarray(b), 32), body, init)
         loop_err = jnp.where(b > 32, ERR_HOST, loop_err)
 
         use_null = interp_error
@@ -675,7 +677,8 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
 
         MAX_CONCAT = 8
         st1, total, err0 = jax.lax.fori_loop(
-            0, MAX_CONCAT, body, (st, jnp.int32(0), jnp.int32(ERR_OK)))
+            0, jnp.minimum(jnp.asarray(b), MAX_CONCAT), body,
+            (st, jnp.int32(0), jnp.int32(ERR_OK)))
         err0 = jnp.where(b > MAX_CONCAT, ERR_HOST, err0)
         val = Value(jnp.int32(ERR_OK), jnp.int32(T_LIST), jnp.int32(0),
                     jnp.zeros((MS,), jnp.uint8), jnp.int32(0),
@@ -850,7 +853,8 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
             einit = (jnp.bool_(False), rbuf, rlen, jnp.bool_(False),
                      jnp.int32(ERR_OK), st_c)
             matched, out_buf, out_len, e_missing, e_hard, _ = \
-                jax.lax.fori_loop(0, 16, entry_body, einit)
+                jax.lax.fori_loop(0, jnp.minimum(jnp.asarray(b), 16),
+                                  entry_body, einit)
             over_entries = b > 16
 
             new_missing = missing | round_missing | e_missing
@@ -892,7 +896,8 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
                     has | (in_range & is_null))
 
         null_off, null_len, has_null = jax.lax.fori_loop(
-            0, 16, null_body, (jnp.int32(0), jnp.int32(0), jnp.bool_(False)))
+            0, jnp.minimum(jnp.asarray(b), 16), null_body,
+            (jnp.int32(0), jnp.int32(0), jnp.bool_(False)))
         null_buf, null_ln = tmpl(null_off, null_len)
 
         hard = jnp.where(missing & ~has_null, ik.ERR_ASSERT, hard)
@@ -938,7 +943,8 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
                 return any_match, werr
 
             any_match, werr = jax.lax.fori_loop(
-                0, 12, wc_body, (jnp.bool_(False), jnp.int32(ERR_OK)))
+                0, jnp.minimum(jnp.asarray(b), 12), wc_body,
+                (jnp.bool_(False), jnp.int32(ERR_OK)))
             werr = jnp.where(b > 12, ERR_HOST, werr)
             should_delete = jnp.where(keep_matching, ~any_match, any_match)
             from .state import _masked_slot_update as _msu
@@ -1006,7 +1012,8 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
 
         MAX_PAIRS = 4
         st1, length, err0 = jax.lax.fori_loop(
-            0, MAX_PAIRS, len_body, (st, jnp.int32(0), jnp.int32(ERR_OK)))
+            0, jnp.minimum(jnp.asarray(b), MAX_PAIRS), len_body,
+            (st, jnp.int32(0), jnp.int32(ERR_OK)))
         err0 = jnp.where(b > MAX_PAIRS, ERR_HOST, err0)
 
         cur = jnp.where(entering, 1, counter)
@@ -1030,8 +1037,9 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
                             step_err, err)
             return st_c, err
 
-        st2, err1 = jax.lax.fori_loop(0, MAX_PAIRS, var_body,
-                                      (st1, jnp.int32(ERR_OK)))
+        st2, err1 = jax.lax.fori_loop(
+            0, jnp.minimum(jnp.asarray(b), MAX_PAIRS), var_body,
+            (st1, jnp.int32(ERR_OK)))
 
         from .state import _masked_slot_update as _msu
         new_counters = _msu(st2.counters,
