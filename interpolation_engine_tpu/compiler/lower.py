@@ -231,9 +231,15 @@ class _Builder:
             # CONTINUE case resolves to pc+1 there)
 
         elif cmd == "math":
-            ioff, ilen = self.intern(t["input"])
-            base = self.put_aux([ioff, ilen] + name_pair(t["output_name"]))
-            self.emit(isa.OP_MATH, base, task=t)
+            from .math_rpn import compile_math_rpn
+            rpn = compile_math_rpn(t["input"], self.intern)
+            if rpn is not None:
+                base = self.put_aux(name_pair(t["output_name"]) + rpn)
+                self.emit(isa.OP_MATH_RPN, base, rpn[0], task=t)
+            else:
+                ioff, ilen = self.intern(t["input"])
+                base = self.put_aux([ioff, ilen] + name_pair(t["output_name"]))
+                self.emit(isa.OP_MATH, base, task=t)
 
         elif cmd == "list_join":
             base = self.put_aux(

@@ -40,8 +40,9 @@ OP_FOR_HEAD = 19
 OP_FOR_NEXT = 20
 OP_PARK = 21
 OP_NOP = 22
+OP_MATH_RPN = 23   # statically-compiled math expression (RPN over int32)
 
-N_OPS = 23
+N_OPS = 24
 
 OP_NAMES = {
     v: k[3:].lower() for k, v in list(globals().items())
@@ -56,3 +57,19 @@ VK_HOST = 3
 
 # goto_map entry target markers
 TARGET_DYNAMIC = -1
+
+# RPN entry kinds (OP_MATH_RPN; 3 ints each: kind, x, y)
+RPN_CONST = 0      # push x
+RPN_HOLE = 1       # interpolate template (x=off, y=len) → must be an int
+RPN_LENGTH = 2     # push len(list at key (x=off, y=len))
+RPN_MINLIST = 3    # push min(int list at key)
+RPN_MAXLIST = 4    # push max(int list at key)
+RPN_ADD = 5
+RPN_SUB = 6
+RPN_MUL = 7
+RPN_DIV = 8        # exact division only (else host fallback)
+RPN_MOD = 9
+RPN_NEG = 10
+RPN_MIN2 = 11      # binary min (enumeration folding)
+RPN_MAX2 = 12
+RPN_SIGN = 13

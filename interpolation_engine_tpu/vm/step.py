@@ -504,6 +504,116 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
               jnp.where(nerr != ERR_OK, nerr, seterr))))
         return advance(st, err, st2)
 
+    def h_math_rpn(st, a, b, c):
+        """Statically-compiled math: a short RPN program over int32.
+
+        All leaves are direct store lookups (holes are simple keys by
+        construction), so the whole evaluation is ~n_entries cheap vector
+        ops — versus the byte evaluator's per-byte while loop.
+        """
+        nbuf, nlen, nerr = interp_name(st, axu(a), axu(a + 1))
+        n_entries = axu(a + 2)
+        STACK = 8
+
+        def list_reduce(val, want_max):
+            base, cnt = val.pool_off, val.pool_len
+            pos = bs.positions(cfg.pool_size)
+            in_span = (pos >= base) & (pos < base + cnt)
+            is_int = st.pool_type == T_INT
+            ok = (val.err == ERR_OK) & (val.vtype == T_LIST) & (cnt > 0) & \
+                jnp.all(~in_span | is_int)
+            big = jnp.int32(2**31 - 1)
+            mn = jnp.min(jnp.where(in_span & is_int, st.pool_int, big))
+            mx = jnp.max(jnp.where(in_span & is_int, st.pool_int, -big))
+            value = jnp.where(want_max, mx, mn)
+            # string lists defer to host; wrong types error like the host
+            err = jnp.where(val.err != ERR_OK, val.err,
+                  jnp.where(val.vtype != T_LIST, ik.ERR_ASSERT,
+                  jnp.where(cnt == 0, ik.ERR_ASSERT,
+                  jnp.where(~jnp.all(~in_span | is_int), ERR_HOST, ERR_OK))))
+            return value, err.astype(jnp.int32)
+
+        def body(i, carry):
+            stack, sp, err = carry
+            base = a + 3 + 3 * i
+            kind = axu(base)
+            x = axu(base + 1)
+            y = axu(base + 2)
+
+            is_leaf_key = (kind == isa.RPN_HOLE) | (kind == isa.RPN_LENGTH) | \
+                (kind == isa.RPN_MINLIST) | (kind == isa.RPN_MAXLIST)
+            kbuf, klen = tmpl(jnp.where(is_leaf_key, x, 0),
+                              jnp.where(is_leaf_key, y, 0))
+            looked = ik.lookup(st, kbuf, klen, cfg)
+            mn_val, mn_err = list_reduce(looked, jnp.bool_(False))
+            mx_val, mx_err = list_reduce(looked, jnp.bool_(True))
+
+            hole_ok = (looked.err == ERR_OK) & (looked.vtype == T_INT)
+            # digit-string values also count as ints (reference: the text is
+            # re-parsed after interpolation)
+            parsed, parse_ok = bs.bytes_to_int(looked.buf, looked.length)
+            hole_val = jnp.where(looked.vtype == T_INT, looked.vint, parsed)
+            hole_err = jnp.where(looked.err != ERR_OK, looked.err,
+                       jnp.where(looked.vtype == T_INT, ERR_OK,
+                       jnp.where((looked.vtype == T_STR) & parse_ok, ERR_OK,
+                                 ERR_HOST)))
+            len_err = jnp.where(looked.err != ERR_OK, looked.err,
+                                jnp.where(looked.vtype != T_LIST,
+                                          ik.ERR_ASSERT, ERR_OK))
+
+            is_leaf = is_leaf_key | (kind == isa.RPN_CONST)
+            leaf_val = jnp.where(kind == isa.RPN_CONST, x,
+                       jnp.where(kind == isa.RPN_HOLE, hole_val,
+                       jnp.where(kind == isa.RPN_LENGTH, looked.pool_len,
+                       jnp.where(kind == isa.RPN_MINLIST, mn_val, mx_val))))
+            leaf_err = jnp.where(kind == isa.RPN_CONST, ERR_OK,
+                       jnp.where(kind == isa.RPN_HOLE, hole_err,
+                       jnp.where(kind == isa.RPN_LENGTH, len_err,
+                       jnp.where(kind == isa.RPN_MINLIST, mn_err, mx_err))))
+
+            top = stack[jnp.clip(sp - 1, 0, STACK - 1)]
+            snd = stack[jnp.clip(sp - 2, 0, STACK - 1)]
+            safe_top = jnp.where(top == 0, 1, top)
+            exact = (snd % safe_top) == 0
+            bin_val = jnp.where(kind == isa.RPN_ADD, snd + top,
+                      jnp.where(kind == isa.RPN_SUB, snd - top,
+                      jnp.where(kind == isa.RPN_MUL, snd * top,
+                      jnp.where(kind == isa.RPN_DIV, snd // safe_top,
+                      jnp.where(kind == isa.RPN_MOD, snd % safe_top,
+                      jnp.where(kind == isa.RPN_MIN2, jnp.minimum(snd, top),
+                                jnp.maximum(snd, top)))))))
+            bin_err = jnp.where((kind == isa.RPN_DIV) & ~exact, ERR_HOST,
+                      jnp.where(((kind == isa.RPN_DIV) | (kind == isa.RPN_MOD))
+                                & (top == 0), ik.ERR_ASSERT, ERR_OK))
+            is_unary = (kind == isa.RPN_NEG) | (kind == isa.RPN_SIGN)
+            un_val = jnp.where(kind == isa.RPN_NEG, -top, jnp.sign(top))
+
+            new_val = jnp.where(is_leaf, leaf_val,
+                                jnp.where(is_unary, un_val, bin_val))
+            new_sp = jnp.where(is_leaf, sp + 1, jnp.where(is_unary, sp, sp - 1))
+            write_at = jnp.clip(new_sp - 1, 0, STACK - 1)
+            from .state import _masked_slot_update as _msu
+            stack = _msu(stack, write_at, new_val)
+            step_err = jnp.where(is_leaf, leaf_err,
+                                 jnp.where(is_unary, ERR_OK, bin_err))
+            err = jnp.where((err == ERR_OK) & (step_err != ERR_OK),
+                            step_err.astype(jnp.int32), err)
+            return stack, new_sp, err
+
+        stack, sp, err = jax.lax.fori_loop(
+            0, jnp.clip(n_entries, 0, 24), body,
+            (jnp.zeros((STACK,), jnp.int32), jnp.int32(0), jnp.int32(ERR_OK)))
+        result = stack[0]
+        err = jnp.where((err == ERR_OK) & (sp != 1), ik.ERR_ASSERT, err)
+
+        val = Value(jnp.int32(ERR_OK), jnp.int32(T_INT), result,
+                    jnp.zeros((MS,), jnp.uint8), jnp.int32(0),
+                    jnp.int32(0), jnp.int32(0))
+        st2, seterr = set_value(st, nbuf, nlen, val)
+        err = jnp.where(nerr != ERR_OK, nerr,
+                        jnp.where(err != ERR_OK, err, seterr))
+        return advance(st, err, st2)
+
     # ---- list ops -----------------------------------------------------------
 
     def h_list_join(st, a, b, c):
@@ -1086,6 +1196,7 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
     handlers[isa.OP_FOR_NEXT] = h_for_next
     handlers[isa.OP_PARK] = h_park
     handlers[isa.OP_NOP] = h_nop
+    handlers[isa.OP_MATH_RPN] = h_math_rpn
 
     if ops is not None:
         # specialize: opcodes this program can never execute fall back to
