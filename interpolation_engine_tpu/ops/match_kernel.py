@@ -77,15 +77,20 @@ def _segment_spans(pat, plen, max_stars: int):
 
 
 def _occurrences(subj, slen_cap, pat, seg_off, seg_len):
-    """occ[p] = literal segment matches subj at p AND p+len <= cut boundary
-    is checked by the caller; here just byte equality over the window."""
+    """occ[p] = literal segment matches subj at p (window compare).
+
+    The window matrix subj[p+q] is built from MAX_LIT statically-shifted
+    copies (static slices are free; a 2-D gather would serialize on TPU),
+    and the literal is extracted with one dynamic_slice.
+    """
     n = subj.shape[0]
     p_idx = bs.positions(n)[:, None]                      # [n,1]
     q_idx = bs.positions(MAX_LIT)[None, :]                # [1,MAX_LIT]
-    gather_idx = jnp.clip(p_idx + q_idx, 0, n - 1)        # [n,MAX_LIT]
-    window = subj[gather_idx]                             # [n,MAX_LIT]
-    lit_idx = jnp.clip(seg_off + q_idx[0], 0, pat.shape[0] - 1)
-    lit = pat[lit_idx]                                    # [MAX_LIT]
+    padded = jnp.concatenate([subj, jnp.zeros((MAX_LIT,), subj.dtype)])
+    window = jnp.stack([padded[q:q + n] for q in range(MAX_LIT)], axis=1)
+    lit_off = jnp.clip(jnp.asarray(seg_off, jnp.int32), 0, pat.shape[0])
+    pat_padded = jnp.concatenate([pat, jnp.zeros((MAX_LIT,), pat.dtype)])
+    lit = jax.lax.dynamic_slice(pat_padded, (lit_off,), (MAX_LIT,))
     active = q_idx[0] < seg_len                           # [MAX_LIT]
     # also require window bytes to be in-range of subject
     in_range = (p_idx + q_idx) < slen_cap
@@ -124,9 +129,9 @@ def _match_at_cut(subj, cut, pat, n_stars, seg_off, seg_len, max_stars: int):
         m_j = seg_len[j]
         occ_j = occ[j]
         is_last = t == 0
-        # h[p] = occ_j[p] & (last ? p+m_j==cut : T[p+m_j])
-        idx = jnp.clip(pos + m_j, 0, n)
-        T_shift = T[idx]
+        # h[p] = occ_j[p] & (last ? p+m_j==cut : T[p+m_j]); the shift is a
+        # dynamic_slice (gathers serialize on TPU)
+        T_shift = bs.shift_left(T.astype(jnp.uint8), m_j) > 0
         end_ok = (pos + m_j) == cut
         h = occ_j & jnp.where(is_last, end_ok, T_shift)
         # suffix OR

@@ -67,24 +67,39 @@ def _fit(buf, n: int):
 
 
 def shift_right(buf, k):
-    """Logical shift right by k positions (vacated bytes are 0)."""
+    """Logical shift right by k positions (vacated bytes are 0).
+
+    Implemented as a dynamic_slice over a zero-padded double buffer: a
+    data-dependent gather (buf[pos-k]) serializes on the TPU scalar unit
+    (~1 element/cycle), whereas dynamic_slice is a contiguous copy.
+    """
     n = buf.shape[0]
-    pos = positions(n)
-    src = pos - k
-    return jnp.where(src >= 0, buf[jnp.clip(src, 0, n - 1)], 0).astype(jnp.uint8)
+    k = jnp.clip(jnp.asarray(k, jnp.int32), 0, n)
+    padded = jnp.concatenate([jnp.zeros((n,), buf.dtype), buf])
+    return jax.lax.dynamic_slice(padded, (n - k,), (n,))
 
 
 def shift_left(buf, k):
+    """Logical shift left by k positions (vacated bytes are 0)."""
     n = buf.shape[0]
-    pos = positions(n)
-    src = pos + k
-    return jnp.where(src < n, buf[jnp.clip(src, 0, n - 1)], 0).astype(jnp.uint8)
+    k = jnp.clip(jnp.asarray(k, jnp.int32), 0, n)
+    padded = jnp.concatenate([buf, jnp.zeros((n,), buf.dtype)])
+    return jax.lax.dynamic_slice(padded, (k,), (n,))
 
 
 def substring(buf, start, length, out_size: int):
     """buf[start:start+length] into a fresh buffer."""
     shifted = shift_left(_fit(buf, max(buf.shape[0], out_size)), start)
     return normalize(_fit(shifted, out_size), length), jnp.asarray(length, jnp.int32)
+
+
+def shift_any(buf, k):
+    """Shift by k (positive → right); dynamic_slice based, no gathers."""
+    n = buf.shape[0]
+    k = jnp.clip(jnp.asarray(k, jnp.int32), -n, n)
+    padded = jnp.concatenate([jnp.zeros((n,), buf.dtype), buf,
+                              jnp.zeros((n,), buf.dtype)])
+    return jax.lax.dynamic_slice(padded, (n - k,), (n,))
 
 
 def splice(buf, length, start, end, rep_buf, rep_len, out_size: int):
@@ -94,10 +109,12 @@ def splice(buf, length, start, end, rep_buf, rep_len, out_size: int):
     head = jnp.where(pos < start, _fit(buf, n), 0)
     mid = shift_right(_fit(rep_buf, n), start)
     mid = jnp.where((pos >= start) & (pos < start + rep_len), mid, 0)
-    tail_src = pos - (start + rep_len) + end
+    # tail: buf shifted so that byte `end` lands at `start + rep_len`
+    tail_shift = start + rep_len - end
+    tail = shift_any(_fit(buf, n), tail_shift)
+    tail_src = pos - tail_shift
     tail_valid = (pos >= start + rep_len) & (tail_src < length) & (tail_src >= 0)
-    tail = jnp.where(tail_valid,
-                     _fit(buf, n)[jnp.clip(tail_src, 0, n - 1)], 0)
+    tail = jnp.where(tail_valid, tail, 0)
     new_len = start + rep_len + (length - end)
     out = (head | mid | tail).astype(jnp.uint8)
     overflow = new_len > n
