@@ -215,49 +215,53 @@ def interpolate(st: VMInstance, buf, length, cfg: VMConfig) -> InterpResult:
 
 
 def _interpolate_impl(st: VMInstance, buf, length, cfg: VMConfig) -> InterpResult:
-    """Full interpolate_inserts: simple-key typed fast path + general loop."""
+    """Full interpolate_inserts: simple-key typed fast path + general loop.
+
+    One general_interpolate instantiation serves all three structural cases
+    (full text / simple-key inner / {{k}} indirection inner) by selecting its
+    input up front — the select-all-branches cost of three instantiations
+    under vmap tripled the hottest kernel.
+    """
     n = cfg.max_str
     length = jnp.asarray(length, jnp.int32)
 
     is_simple = simple_key_span(buf, length)
     inner_buf, inner_len = bs.substring(buf, jnp.int32(1), length - 2, n)
     inner_simple = simple_key_span(inner_buf, inner_len)
-
-    # --- simple path ---------------------------------------------------------
-    # key text = general_interpolate(inner)   (inner itself is not simple)
-    # {{k}} indirection: inner IS simple → key text = str(value of k)
     inner2_buf, inner2_len = bs.substring(inner_buf, jnp.int32(1),
                                           inner_len - 2, n)
     inner2_simple = simple_key_span(inner2_buf, inner2_len)
 
-    # {{k}}: resolve k (a plain key after general interpolation), then use its
-    # *string* value as the outer key. A non-string intermediate raises in the
-    # reference (int → InterpolationException via the failed dict probe;
-    # list/dict → TypeError): map to ERR_MISSING / ERR_ASSERT. Nesting deeper
-    # than one indirection level defers to host.
-    gk_buf, gk_len, gk_err = general_interpolate(st, inner2_buf, inner2_len, cfg)
-    indirect = lookup(st, gk_buf, gk_len, cfg)
-    ind_key_buf = indirect.buf
-    ind_key_len = indirect.length
+    use_inner2 = is_simple & inner_simple
+    use_inner = is_simple & ~inner_simple
+    gen_buf = jnp.where(use_inner2, inner2_buf,
+                        jnp.where(use_inner, inner_buf, buf))
+    gen_len = jnp.where(use_inner2, inner2_len,
+                        jnp.where(use_inner, inner_len, length))
+
+    g_buf, g_len, g_err = general_interpolate(st, gen_buf, gen_len, cfg)
+
+    # {{k}}: resolve k, then use its *string* value as the outer key. A
+    # non-string intermediate raises in the reference (int →
+    # InterpolationException via the failed dict probe; list/dict →
+    # TypeError): map to ERR_MISSING / ERR_ASSERT. Nesting deeper than one
+    # indirection level defers to host.
+    indirect = lookup(st, g_buf, g_len, cfg)
     ind_err = jnp.where(
         indirect.err != ERR_OK, indirect.err,
         jnp.where(indirect.vtype == T_INT, ERR_MISSING,
                   jnp.where(indirect.vtype == T_LIST, ERR_ASSERT, ERR_OK)))
-    ind_err = jnp.where(gk_err != ERR_OK, gk_err, ind_err).astype(jnp.int32)
-    ind_err = jnp.where(inner2_simple, ERR_HOST, ind_err)
+    ind_err = jnp.where(inner2_simple, ERR_HOST, ind_err).astype(jnp.int32)
 
-    gi_buf, gi_len, gi_err = general_interpolate(st, inner_buf, inner_len, cfg)
-
-    key_buf = jnp.where(inner_simple, ind_key_buf, gi_buf)
-    key_len = jnp.where(inner_simple, ind_key_len, gi_len)
-    key_err = jnp.where(inner_simple, ind_err, gi_err)
+    key_buf = jnp.where(use_inner2, indirect.buf, g_buf)
+    key_len = jnp.where(use_inner2, indirect.length, g_len)
+    key_err = jnp.where(use_inner2, ind_err, jnp.int32(ERR_OK))
+    key_err = jnp.where(g_err != ERR_OK, g_err, key_err)
 
     simple_res = lookup(st, key_buf, key_len, cfg)
     simple_res = simple_res._replace(
         err=jnp.where(key_err != ERR_OK, key_err, simple_res.err))
 
-    # --- general path --------------------------------------------------------
-    g_buf, g_len, g_err = general_interpolate(st, buf, length, cfg)
     general_res = _mk_str(g_buf, g_len)._replace(err=g_err)
 
     def pick(a, b):

@@ -78,12 +78,19 @@ def fnv1a(buf: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
     """
     n = buf.shape[0]
     pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    base = jnp.full((n,), HASH_BASE, jnp.uint32)
-    powers = jnp.concatenate([jnp.ones((1,), jnp.uint32),
-                              jnp.cumprod(base)[:-1]])
+    powers = jnp.asarray(_hash_powers(n))  # trace-time constant
     terms = jnp.where(pos < length,
                       (buf.astype(jnp.uint32) + 1) * powers, 0)
     return jnp.sum(terms, dtype=jnp.uint32)
+
+
+def _hash_powers(n: int) -> np.ndarray:
+    powers = np.empty((n,), np.uint32)
+    p = 1
+    for i in range(n):
+        powers[i] = p
+        p = (p * HASH_BASE) & 0xFFFFFFFF
+    return powers
 
 
 def fnv1a_np(data: bytes) -> np.uint32:
