@@ -190,8 +190,13 @@ class _Builder:
             return [off, ln]
 
         if cmd == "print":
-            spec = self.vspec(t["text"])
-            self.emit(isa.OP_PRINT, self.put_aux(spec), task=t)
+            text = t["text"]
+            if isinstance(text, str) and "{" not in text and "}" not in text:
+                off, ln = self.intern(text)
+                self.emit(isa.OP_PRINT_LIT, self.put_aux([off, ln]), task=t)
+            else:
+                spec = self.vspec(text)
+                self.emit(isa.OP_PRINT, self.put_aux(spec), task=t)
 
         elif cmd in ("set", "unescape"):
             spec = self.vspec(t["item"])
@@ -215,17 +220,22 @@ class _Builder:
 
         elif cmd == "goto_map":
             entries = []
-            my_pc = len(self.code)
+            all_literal = True
             for d in t["target_maps"]:
                 key = next(iter(d.keys()))
                 val = next(iter(d.values()))
+                if not (isinstance(key, str) and isinstance(val, str)):
+                    all_literal = False
+                    key, val = str(key), str(val)
+                elif any(ch in key or ch in val for ch in "{}\\"):
+                    all_literal = False
                 koff, klen = self.intern(key)
                 voff, vlen = self.intern(val)
                 entries.extend([koff, klen, voff, vlen, isa.TARGET_DYNAMIC])
             text_off, text_len = self.intern(t["text"])
             base = self.put_aux([text_off, text_len, scope_id] + entries)
-            pc = self.emit(isa.OP_GOTO_MAP, base, len(t["target_maps"]),
-                           task=t)
+            op = isa.OP_GOTO_MAP_LIT if all_literal else isa.OP_GOTO_MAP
+            pc = self.emit(op, base, len(t["target_maps"]), task=t)
             # static targets get patched by the scope pass via pending_gotos:
             # handled dynamically at runtime via the scope label table (the
             # CONTINUE case resolves to pc+1 there)

@@ -40,9 +40,11 @@ OP_FOR_HEAD = 19
 OP_FOR_NEXT = 20
 OP_PARK = 21
 OP_NOP = 22
-OP_MATH_RPN = 23   # statically-compiled math expression (RPN over int32)
+OP_MATH_RPN = 23      # statically-compiled math expression (RPN over int32)
+OP_GOTO_MAP_LIT = 24  # goto_map whose keys and targets are all literal
+OP_PRINT_LIT = 25     # print of a literal (brace-free) text
 
-N_OPS = 24
+N_OPS = 26
 
 OP_NAMES = {
     v: k[3:].lower() for k, v in list(globals().items())

@@ -504,6 +504,68 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
               jnp.where(nerr != ERR_OK, nerr, seterr))))
         return advance(st, err, st2)
 
+    def h_print_lit(st, a, b, c):
+        """print of a brace-free literal: no interpolation kernel at all."""
+        sbuf, slen = tmpl(axu(a), axu(a + 1))
+        ubuf, ulen = bs.unescape_braces(sbuf, slen)
+        new_out, new_len, ov = _append_out(st, ubuf, ulen)
+        err = jnp.where(ov, ik.ERR_CAPACITY, ERR_OK)
+        return advance(st, err, st._replace(out=new_out, out_len=new_len))
+
+    def h_goto_map_lit(st, a, b, c):
+        """goto_map whose keys and targets are all literal: only the text
+        interpolates; per-entry work is one wildcard match on raw bytes."""
+        text_r = interp_tmpl(st, axu(a), axu(a + 1))
+        scope_id = axu(a + 2)
+        tbuf, tlen, tverr = ik.value_to_bytes(text_r, MS)
+        interp_error = text_r.err == ERR_MISSING
+        hard_err = jnp.where(
+            (text_r.err != ERR_OK) & ~interp_error, text_r.err,
+            jnp.where(~interp_error & (tverr != ERR_OK), tverr, ERR_OK))
+
+        NULL = jnp.zeros((MS,), jnp.uint8).at[:4].set(
+            jnp.array(list(b"NULL"), jnp.uint8))
+
+        def body(e, carry):
+            matched, tgt_off, tgt_len, null_off, null_len, has_null, err = carry
+            base = a + 3 + 5 * e
+            in_range = e < b
+            kbuf, klen = tmpl(axu(base), axu(base + 1))
+            is_null = bs.equal(kbuf, klen, NULL, jnp.int32(4))
+            m = mk.wildcard_match(kbuf, klen, tbuf, tlen, cfg.max_stars)
+            hit = in_range & m.ok & ~matched & ~interp_error
+            unsupported = in_range & ~m.supported
+            err = jnp.where(in_range & (err == ERR_OK) & unsupported,
+                            ERR_HOST, err)
+            tgt_off = jnp.where(hit, axu(base + 2), tgt_off)
+            tgt_len = jnp.where(hit, axu(base + 3), tgt_len)
+            matched = matched | hit
+            first_null = in_range & is_null & ~has_null
+            null_off = jnp.where(first_null, axu(base + 2), null_off)
+            null_len = jnp.where(first_null, axu(base + 3), null_len)
+            has_null = has_null | (in_range & is_null)
+            return matched, tgt_off, tgt_len, null_off, null_len, has_null, err
+
+        init = (jnp.bool_(False), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                jnp.int32(0), jnp.bool_(False), jnp.int32(ERR_OK))
+        matched, tgt_off, tgt_len, null_off, null_len, has_null, loop_err = \
+            jax.lax.fori_loop(0, jnp.minimum(jnp.asarray(b), 32), body, init)
+        loop_err = jnp.where(b > 32, ERR_HOST, loop_err)
+
+        use_null = interp_error
+        goff = jnp.where(use_null, null_off, tgt_off)
+        glen_ = jnp.where(use_null, null_len, tgt_len)
+        gbuf, glen = tmpl(goff, glen_)
+
+        jump, is_continue = _resolve_label(scope_id, gbuf, glen, st.pc)
+
+        err = jnp.where(hard_err != ERR_OK, hard_err,
+              jnp.where(loop_err != ERR_OK, loop_err,
+              jnp.where(use_null & ~has_null, ik.ERR_ASSERT,
+              jnp.where(~use_null & ~matched, ik.ERR_ASSERT,
+              jnp.where(jump < 0, ik.ERR_ASSERT, ERR_OK)))))
+        return advance(st, err, st, jump_pc=jump)
+
     def h_math_rpn(st, a, b, c):
         """Statically-compiled math: a short RPN program over int32.
 
@@ -1197,6 +1259,8 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
     handlers[isa.OP_PARK] = h_park
     handlers[isa.OP_NOP] = h_nop
     handlers[isa.OP_MATH_RPN] = h_math_rpn
+    handlers[isa.OP_GOTO_MAP_LIT] = h_goto_map_lit
+    handlers[isa.OP_PRINT_LIT] = h_print_lit
 
     if ops is not None:
         # specialize: opcodes this program can never execute fall back to
