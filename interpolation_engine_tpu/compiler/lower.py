@@ -189,6 +189,10 @@ class _Builder:
             off, ln = self.intern(value)
             return [off, ln]
 
+        def name_is_literal(value) -> bool:
+            return isinstance(value, str) and "{" not in value \
+                and "}" not in value and "\\" not in value
+
         if cmd == "print":
             text = t["text"]
             if isinstance(text, str) and "{" not in text and "}" not in text:
@@ -201,8 +205,12 @@ class _Builder:
         elif cmd in ("set", "unescape"):
             spec = self.vspec(t["item"])
             base = self.put_aux(name_pair(t["output_name"]) + spec)
-            self.emit(isa.OP_SET if cmd == "set" else isa.OP_UNESCAPE,
-                      base, task=t)
+            if cmd == "set":
+                op = isa.OP_SET_LN if name_is_literal(t["output_name"]) \
+                    else isa.OP_SET
+            else:
+                op = isa.OP_UNESCAPE
+            self.emit(op, base, task=t)
 
         elif cmd == "clear":
             self.emit(isa.OP_CLEAR, task=t)
@@ -245,7 +253,9 @@ class _Builder:
             rpn = compile_math_rpn(t["input"], self.intern)
             if rpn is not None:
                 base = self.put_aux(name_pair(t["output_name"]) + rpn)
-                self.emit(isa.OP_MATH_RPN, base, rpn[0], task=t)
+                op = isa.OP_MATH_RPN_LN if name_is_literal(t["output_name"]) \
+                    else isa.OP_MATH_RPN
+                self.emit(op, base, rpn[0], task=t)
             else:
                 ioff, ilen = self.intern(t["input"])
                 base = self.put_aux([ioff, ilen] + name_pair(t["output_name"]))

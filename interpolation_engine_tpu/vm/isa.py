@@ -43,8 +43,10 @@ OP_NOP = 22
 OP_MATH_RPN = 23      # statically-compiled math expression (RPN over int32)
 OP_GOTO_MAP_LIT = 24  # goto_map whose keys and targets are all literal
 OP_PRINT_LIT = 25     # print of a literal (brace-free) text
+OP_SET_LN = 26        # set with a literal output name
+OP_MATH_RPN_LN = 27   # math RPN with a literal output name
 
-N_OPS = 26
+N_OPS = 28
 
 OP_NAMES = {
     v: k[3:].lower() for k, v in list(globals().items())

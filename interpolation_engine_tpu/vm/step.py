@@ -241,8 +241,14 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
         st = jax.tree.map(lambda a, b: jnp.where(is_literal, b, a), st, st2)
         return st, pool_off, count, err.astype(jnp.int32)
 
-    def interp_name(st: VMInstance, off, ln):
-        """Resolve an output_name template to key bytes (must be a string)."""
+    def interp_name(st: VMInstance, off, ln, literal: bool = False):
+        """Resolve an output_name template to key bytes (must be a string).
+
+        ``literal`` is a trace-time flag: literal names skip the
+        interpolation kernel entirely (compiler-proved brace-free)."""
+        if literal:
+            buf, length = tmpl(off, ln)
+            return buf, length, jnp.int32(ERR_OK)
         r = interp_tmpl(st, off, ln)
         buf, length, verr = ik.value_to_bytes(r, MS)
         err = jnp.where(r.err != ERR_OK, r.err, verr)
@@ -334,24 +340,27 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
         total = st.out_len + ln
         return merged, jnp.minimum(total, O), total > O
 
-    def h_set(st, a, b, c):
-        nbuf, nlen, nerr = interp_name(st, axu(a), axu(a + 1))
-        val, kind = resolve_vspec(st, a + 2)
-        is_literal_list = kind == isa.VK_LIST
-        st2, lit_off, lit_cnt, lit_err = materialize_list(
+    def make_h_set(literal_name: bool):
+        def h_set(st, a, b, c):
+            nbuf, nlen, nerr = interp_name(st, axu(a), axu(a + 1),
+                                           literal_name)
+            val, kind = resolve_vspec(st, a + 2)
+            is_literal_list = kind == isa.VK_LIST
+            st2, lit_off, lit_cnt, lit_err = materialize_list(
             st, axu(a + 3), jnp.where(is_literal_list, axu(a + 4), 0))
-        st_use = jax.tree.map(lambda x, y: jnp.where(is_literal_list, y, x),
+            st_use = jax.tree.map(lambda x, y: jnp.where(is_literal_list, y, x),
                               st, st2)
-        val = Value(
+            val = Value(
             err=jnp.where(is_literal_list, lit_err, val.err),
             vtype=jnp.where(is_literal_list, T_LIST, val.vtype),
             vint=val.vint, buf=val.buf, length=val.length,
             pool_off=jnp.where(is_literal_list, lit_off, val.pool_off),
             pool_len=jnp.where(is_literal_list, lit_cnt, val.pool_len))
-        st3, serr = set_value(st_use, nbuf, nlen, val)
-        err = jnp.where(nerr != ERR_OK, nerr,
-                        jnp.where(val.err != ERR_OK, val.err, serr))
-        return advance(st, err, st3)
+            st3, serr = set_value(st_use, nbuf, nlen, val)
+            err = jnp.where(nerr != ERR_OK, nerr,
+                            jnp.where(val.err != ERR_OK, val.err, serr))
+            return advance(st, err, st3)
+        return h_set
 
     def h_unescape(st, a, b, c):
         nbuf, nlen, nerr = interp_name(st, axu(a), axu(a + 1))
@@ -566,14 +575,15 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
               jnp.where(jump < 0, ik.ERR_ASSERT, ERR_OK)))))
         return advance(st, err, st, jump_pc=jump)
 
-    def h_math_rpn(st, a, b, c):
+    def make_h_math_rpn(literal_name: bool):
+      def h_math_rpn(st, a, b, c):
         """Statically-compiled math: a short RPN program over int32.
 
         All leaves are direct store lookups (holes are simple keys by
         construction), so the whole evaluation is ~n_entries cheap vector
         ops — versus the byte evaluator's per-byte while loop.
         """
-        nbuf, nlen, nerr = interp_name(st, axu(a), axu(a + 1))
+        nbuf, nlen, nerr = interp_name(st, axu(a), axu(a + 1), literal_name)
         n_entries = axu(a + 2)
         STACK = 8
 
@@ -675,6 +685,7 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
         err = jnp.where(nerr != ERR_OK, nerr,
                         jnp.where(err != ERR_OK, err, seterr))
         return advance(st, err, st2)
+      return h_math_rpn
 
     # ---- list ops -----------------------------------------------------------
 
@@ -1237,7 +1248,8 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
     handlers = [h_park] * isa.N_OPS  # placeholder; filled below, masked by ops
     handlers[isa.OP_HALT] = h_halt
     handlers[isa.OP_PRINT] = h_print
-    handlers[isa.OP_SET] = h_set
+    handlers[isa.OP_SET] = make_h_set(False)
+    handlers[isa.OP_SET_LN] = make_h_set(True)
     handlers[isa.OP_UNESCAPE] = h_unescape
     handlers[isa.OP_GOTO] = h_goto
     handlers[isa.OP_GOTO_MAP] = h_goto_map
@@ -1258,7 +1270,8 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
     handlers[isa.OP_FOR_NEXT] = h_for_next
     handlers[isa.OP_PARK] = h_park
     handlers[isa.OP_NOP] = h_nop
-    handlers[isa.OP_MATH_RPN] = h_math_rpn
+    handlers[isa.OP_MATH_RPN] = make_h_math_rpn(False)
+    handlers[isa.OP_MATH_RPN_LN] = make_h_math_rpn(True)
     handlers[isa.OP_GOTO_MAP_LIT] = h_goto_map_lit
     handlers[isa.OP_PRINT_LIT] = h_print_lit
 
