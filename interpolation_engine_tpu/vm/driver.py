@@ -91,10 +91,11 @@ class DeviceRunner:
         self.io_factory = io_factory or (lambda i: IOManager(BufferBackend()))
         self.tables = pack_tables(compiled)
         if mode == "auto":
-            import os
-            on_cpu = jax.devices()[0].platform == "cpu"
-            mode = "eager" if (on_cpu and not os.environ.get("IE_TPU_JIT")) \
-                else "jit"
+            mode = os.environ.get("IE_TPU_MODE", "")
+            if mode not in ("jit", "eager"):
+                on_cpu = jax.devices()[0].platform == "cpu"
+                mode = "eager" if (on_cpu and not os.environ.get("IE_TPU_JIT")) \
+                    else "jit"
         self.mode = mode
         from .step import used_opcodes
         self._ops = used_opcodes(compiled)
