@@ -49,8 +49,8 @@ def batched_run_sharded(cfg, mesh: Mesh, axis: str = "dp", ops=None):
     """
     from ..vm.step import make_generic_step
 
-    _, grun, _ = make_generic_step(cfg, ops)
-    vrun = jax.vmap(grun, in_axes=(0, None, None))
+    _, _, _, grun_batch = make_generic_step(cfg, ops)
+    vrun = grun_batch
 
     def out_shardings_for(batch):
         def leaf(x):

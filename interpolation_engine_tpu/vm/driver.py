@@ -50,9 +50,8 @@ def _get_jitted_run(cfg: VMConfig, ops: frozenset = None):
     shrinking the compiled HLO (crucial on slow remote-compile paths)."""
     key = (cfg, ops)
     if key not in _JITTED_CACHE:
-        _, grun, _ = make_generic_step(cfg, ops)
-        _JITTED_CACHE[key] = jax.jit(
-            jax.vmap(grun, in_axes=(0, None, None)), static_argnums=(2,))
+        _, _, _, grun_batch = make_generic_step(cfg, ops)
+        _JITTED_CACHE[key] = jax.jit(grun_batch, static_argnums=(2,))
     return _JITTED_CACHE[key]
 
 
@@ -103,7 +102,7 @@ class DeviceRunner:
             if mode == "jit" else None
         if mode == "eager":
             # eager shares the unspecialized handler set across programs
-            _, _, self._gstep = make_generic_step(self.cfg)
+            _, _, self._gstep, _ = make_generic_step(self.cfg)
         self.total_device_steps = 0
 
     def _jitted(self, batch, inner_steps: int):

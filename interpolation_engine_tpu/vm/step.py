@@ -98,7 +98,7 @@ def make_step(compiled: CompiledProgram, cfg: VMConfig):
     jit caching shares one executable across same-bucket programs.
     """
     tables = pack_tables(compiled)
-    gstep, grun, geager = make_generic_step(cfg)
+    gstep, grun, geager, _ = make_generic_step(cfg)
 
     def step(st):
         return geager(st, tables)
@@ -1305,6 +1305,45 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
             return step(st, tables)
         return jax.lax.fori_loop(0, n_steps, body, st)
 
+    def run_batch(batch: VMInstance, tables: Tables, n_steps: int) -> VMInstance:
+        """Batch-level step loop with uniform-dispatch fast path.
+
+        Instances usually run in lockstep (same pc). When every live lane
+        shares one pc, dispatch switches on a SCALAR opcode — XLA emits a
+        real conditional that executes only the active handler at runtime,
+        instead of the vmapped per-lane switch that computes every branch
+        (classic SIMT convergence optimization). Divergent batches fall
+        back to the per-lane path within the same compiled loop.
+        """
+        _T["aux"] = tables.aux
+        _T["strtab"] = tables.strtab
+        _T["labels"] = tables.labels
+        code = tables.code
+
+        def body(_, batch):
+            pcs = batch.pc
+            running = batch.status == RUNNING
+            uniform = jnp.all(pcs == pcs[0]) & jnp.all(running)
+            pc0 = jnp.clip(pcs[0], 0, code.shape[0] - 1)
+            instr0 = code[pc0]
+            op0 = jnp.clip(instr0[0], 0, isa.N_OPS - 1)
+
+            def uniform_path(batch):
+                branches = [
+                    (lambda bt, a, b, c, h=h:
+                     jax.vmap(h, in_axes=(0, None, None, None))(bt, a, b, c))
+                    for h in handlers
+                ]
+                return jax.lax.switch(op0, branches, batch,
+                                      instr0[1], instr0[2], instr0[3])
+
+            def mixed_path(batch):
+                return jax.vmap(step, in_axes=(0, None))(batch, tables)
+
+            return jax.lax.cond(uniform, uniform_path, mixed_path, batch)
+
+        return jax.lax.fori_loop(0, n_steps, body, batch)
+
     def _bind(handler):
         """Jit one handler with tables as traced arguments — compiled once
         per cfg (lazily, on first use) and shared across programs."""
@@ -1333,4 +1372,4 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
         return eager_handlers[op](st, tables, jnp.int32(a), jnp.int32(b),
                                   jnp.int32(c))
 
-    return step, run, eager_step
+    return step, run, eager_step, run_batch
