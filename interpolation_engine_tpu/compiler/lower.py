@@ -10,9 +10,11 @@ markers (with the original task attached) wherever a task needs host
 services (user IO, chat, filesystem, TTS) or shapes the device kernels
 defer on.
 
-Programs using ``parallel_wait``/``parallel_race`` or dynamic (interpolated)
-task lists are flagged ``host_only`` — the driver runs them on the exact
-host engine instead (threaded device parallelism is a later milestone).
+``parallel_wait``/``parallel_race`` blocks lower to OP_PARK: the whole block
+runs on the host ring with true asyncio semantics while the rest of the
+program stays on device. Only dynamic (interpolated) task lists, recursive
+run_task, and intra-scope label-hash collisions flag a program
+``host_only`` — the driver then runs it on the exact host engine.
 """
 
 from __future__ import annotations
@@ -45,7 +47,7 @@ class CompiledProgram:
     code: np.ndarray          # int32 [n_instr, 4]: opcode, a, b, c
     aux: np.ndarray           # int32 [n_aux]
     strtab: np.ndarray        # uint8 [n_bytes]
-    labels: np.ndarray        # int32 [n_labels, 3]: scope_id, name_hash, pc
+    labels: np.ndarray        # int32 [n_labels, 5]: scope, hash, pc, name_off, name_len
     source_tasks: list        # pc → (task dict | None) for host fallback
     order_index_of: list      # pc → top-level 1-based order_index (save map)
     host_only: bool
@@ -171,14 +173,33 @@ class _Builder:
             self.code[pc][1] = label_pcs[name]
 
         # register scope labels for dynamic goto_map resolution
-        for name, pc in label_pcs.items():
-            self.labels.append(
-                (scope_id, int(np.int32(np.uint32(fnv1a_np(name.encode("utf-8"))))), pc))
-            self.label_names[(scope_id, name)] = pc
+        self.register_labels(scope_id, label_pcs)
         # CONTINUE is an implicit label meaning "next instruction": dynamic
         # targets resolve it specially at runtime (hash match)
         self._cur_scope = prev_scope
         return None
+
+    def register_labels(self, scope_id: int, label_pcs: dict) -> None:
+        """Register a scope's labels in the device label table.
+
+        Rows are [scope_id, name_hash, pc, name_off, name_len]; the runtime
+        verifies name bytes after the hash hit (a dynamic goto_map target
+        could otherwise alias a label by crafted hash collision). Two labels
+        colliding *within* a scope would still be ambiguous at the prefilter,
+        so that (astronomically rare, but craftable) case demotes the program
+        to the exact host engine.
+        """
+        seen_hashes: dict[int, str] = {}
+        for name, pc in label_pcs.items():
+            h = int(np.int32(np.uint32(fnv1a_np(name.encode("utf-8")))))
+            if seen_hashes.get(h, name) != name:
+                raise _HostOnly(
+                    f"label name-hash collision in one scope: "
+                    f"{seen_hashes[h]!r} vs {name!r}")
+            seen_hashes[h] = name
+            off, ln = self.intern(name)
+            self.labels.append((scope_id, h, pc, off, ln))
+            self.label_names[(scope_id, name)] = pc
 
     def lower_task(self, task: dict, scope_id: int,
                    pending_gotos: list, named_stack: tuple) -> None:
@@ -422,9 +443,7 @@ def compile_program(program: dict) -> CompiledProgram:
                 b.code[pc][1] = PARK_HOST_OP
                 continue
             b.code[pc][1] = label_pcs[name]
-        for name, pc in label_pcs.items():
-            b.labels.append((scope_id, int(np.int32(np.uint32(fnv1a_np(name.encode("utf-8"))))), pc))
-            b.label_names[(scope_id, name)] = pc
+        b.register_labels(scope_id, label_pcs)
         host_only, reason = False, ""
     except _HostOnly as e:
         host_only, reason = True, str(e)
@@ -435,7 +454,7 @@ def compile_program(program: dict) -> CompiledProgram:
         code=code,
         aux=np.asarray(b.aux or [0], np.int32),
         strtab=np.frombuffer(bytes(b.strbytes) or b"\x00", np.uint8).copy(),
-        labels=np.asarray(b.labels or np.zeros((0, 3)), np.int32).reshape(-1, 3),
+        labels=np.asarray(b.labels or np.zeros((0, 5)), np.int32).reshape(-1, 5),
         source_tasks=b.source_tasks,
         order_index_of=b.order_index_of,
         scope_of=b.scope_of,

@@ -205,10 +205,13 @@ async def execute_task(rt: Runtime, state: dict, task: dict, runtime_label: str)
 
     elif cmd == "print":
         # Un-escape braces for display; state['output'] keeps the same
-        # unescaped text (reference: :1669-1675).
-        text = (py_str(task["text"])
-                .replace(ESCAPE + INSERT_START, INSERT_START)
-                .replace(ESCAPE + INSERT_STOP, INSERT_STOP))
+        # unescaped text (reference: :1669-1675). Quirk preserved: the
+        # reference calls .replace on the raw value *before* stringifying,
+        # so print of a non-string (e.g. text:'{n}' where n is an int)
+        # raises AttributeError — reproduce it rather than printing.
+        text = py_str(task["text"]
+                      .replace(ESCAPE + INSERT_START, INSERT_START)
+                      .replace(ESCAPE + INSERT_STOP, INSERT_STOP))
         state["output"] += text
         await rt.io.write(text)
 

@@ -22,12 +22,28 @@ def so_path(name: str) -> str:
     return os.path.join(HERE, name + suffix)
 
 
+def _source_hash(path: str) -> str:
+    import hashlib
+    with open(path, "rb") as f:
+        return hashlib.md5(f.read()).hexdigest()
+
+
 def build_json5c(verbose: bool = False) -> str:
-    """Compile json5c.cpp; returns the .so path (cached by mtime)."""
+    """Compile json5c.cpp; returns the .so path.
+
+    Caching is by *source content hash* (a sidecar .buildhash file), not
+    mtime: git checkouts give every file the same mtime, and a stale — or
+    foreign — binary must never be preferred over the reviewed source.
+    Binaries are gitignored; the first import builds from source.
+    """
     src = os.path.join(HERE, "json5c.cpp")
     out = so_path("json5c")
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
-        return out
+    hash_file = out + ".buildhash"
+    want = _source_hash(src)
+    if os.path.exists(out) and os.path.exists(hash_file):
+        with open(hash_file) as f:
+            if f.read().strip() == want:
+                return out
     include = sysconfig.get_paths()["include"]
     cmd = [
         "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
@@ -37,6 +53,8 @@ def build_json5c(verbose: bool = False) -> str:
     if result.returncode != 0:
         raise RuntimeError(
             f"native build failed:\n{result.stderr[-2000:]}")
+    with open(hash_file, "w") as f:
+        f.write(want + "\n")
     if verbose:
         print(f"built {out}")
     return out

@@ -98,7 +98,7 @@ def lookup(st: VMInstance, key_buf, key_len, cfg: VMConfig):
     is_special_time = str_eq("HH:MM") | str_eq("HH:MM:SS")
     is_empty = key_len == 0
 
-    found, slot = find_slot(st, key_buf, key_len)
+    found, slot, collide = find_slot(st, key_buf, key_len)
     vtype = st.vtype[slot]
     vint = st.vint[slot]
     voff = st.voff[slot]
@@ -108,7 +108,9 @@ def lookup(st: VMInstance, key_buf, key_len, cfg: VMConfig):
     str_buf, str_len = _arena_str(st, voff, vlen, cfg.max_str)
 
     err = jnp.where(is_special_time, ERR_HOST,
-                    jnp.where(is_empty | ~found, ERR_MISSING, ERR_OK))
+                    jnp.where(collide, ERR_HOST,
+                              jnp.where(is_empty | ~found, ERR_MISSING,
+                                        ERR_OK)))
     return InterpResult(
         err=err.astype(jnp.int32),
         vtype=jnp.where(found, vtype, T_STR).astype(jnp.int32),

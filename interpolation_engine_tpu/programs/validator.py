@@ -102,6 +102,17 @@ def validate_program(program: dict) -> list[ValidationWarning]:
                 f"{task['traceback_label']}: field 'item' of type "
                 f"{type(item).__name__} is rejected at load (the reference "
                 f"TypeErrors probing it).")
+        if item and isinstance(item, (str, list)) and "cmd" in item:
+            # preserved quirk: the reference's `'cmd' in item` probe also
+            # fires for a *str* item containing the substring 'cmd' or a
+            # *list* item containing the element 'cmd'; it then TypeErrors
+            # assigning item['traceback_label'], so such programs never load
+            # (interpolation_engine.py:1058-1059).
+            raise ProgramValidationError(
+                f"{task['traceback_label']}: field 'item' of type "
+                f"{type(item).__name__} containing 'cmd' is rejected at "
+                f"load (the reference TypeErrors assigning its "
+                f"traceback_label).")
         if item and isinstance(item, dict) and "cmd" in item:
             item["traceback_label"] = (
                 task["traceback_label"] + f"/{item['cmd']}-{item['line']}")

@@ -8,8 +8,9 @@ exact host executor (so chat/user IO/filesystem/TTS and every error message
 behave identically to the oracle), re-encodes — which also compacts arena
 garbage — and resumes it. Instances never block the device step loop.
 
-Programs flagged host_only (parallel blocks, dynamic task lists) run
-entirely on the host engine, one asyncio task per instance.
+Programs flagged host_only (dynamic task lists, recursive run_task) run
+entirely on the host engine, one asyncio task per instance. parallel blocks
+are NOT host_only: they lower to OP_PARK and run on the ring.
 """
 
 from __future__ import annotations

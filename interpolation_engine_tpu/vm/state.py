@@ -175,12 +175,31 @@ def arena_read(st: VMInstance, off, length, size: int):
 
 
 def find_slot(st: VMInstance, key_buf, key_len):
-    """Return (found: bool, slot: int32) for a key; verifies bytes via hash+len."""
+    """Return (found, slot, collide) for a key.
+
+    hash+len is only a prefilter; the first candidate's stored key bytes are
+    compared against the probe (arena span). If they differ and *another*
+    candidate exists, the lookup is ambiguous (a crafted intra-store hash
+    collision): ``collide`` is raised and callers must PARK so the host
+    re-executes exactly — never silently alias two keys.
+    """
     h = fnv1a(key_buf, key_len)
     cand = st.occ & (st.key_hash == h) & (st.key_len == key_len)
-    found = jnp.any(cand)
+    n_cand = jnp.sum(cand.astype(jnp.int32))
     slot = jnp.argmax(cand).astype(jnp.int32)
-    return found, slot
+    # byte-verify the first candidate: stored keys are <= max_key bytes and
+    # a probe longer than that can never have candidates (len prefilter)
+    K_BYTES = min(key_buf.shape[0], st.arena.shape[0])
+    off = jnp.clip(st.key_off[slot], 0, st.arena.shape[0] - 1)
+    padded = jnp.concatenate(
+        [st.arena, jnp.zeros((K_BYTES,), jnp.uint8)])
+    stored = jax.lax.dynamic_slice(padded, (off,), (K_BYTES,))
+    stored = normalize(stored, st.key_len[slot])
+    probe = normalize(key_buf[:K_BYTES], key_len)
+    bytes_eq = jnp.all(stored == probe)
+    found = (n_cand > 0) & bytes_eq
+    collide = (n_cand > 1) & ~bytes_eq
+    return found, slot, collide
 
 
 def store_set(st: VMInstance, key_buf, key_len, vtype, vint, voff, vlen,
@@ -190,13 +209,15 @@ def store_set(st: VMInstance, key_buf, key_len, vtype, vint, voff, vlen,
     Returns (st', overflow). Key bytes are written to the arena only for new
     keys (existing keys reuse their stored key bytes).
     """
-    found, slot = find_slot(st, key_buf, key_len)
+    found, slot, collide = find_slot(st, key_buf, key_len)
     # allocate for the miss case
     free = ~st.occ
     have_free = jnp.any(free)
     new_slot = jnp.argmax(free).astype(jnp.int32)
     st2, key_off, arena_ov = arena_write(st, key_buf, key_len, cfg)
-    overflow = jnp.where(found, False, ~have_free | arena_ov)
+    # an ambiguous (colliding) lookup must never write: report as overflow
+    # so the caller parks and the host executes the op exactly
+    overflow = jnp.where(found, collide, ~have_free | arena_ov | collide)
 
     use_slot = jnp.where(found, slot, new_slot)
     # only bump the arena when the key is new

@@ -73,9 +73,9 @@ def pack_tables(compiled: CompiledProgram) -> Tables:
     """Pad program tables to power-of-two buckets (padding rows are OP_HALT /
     zeros, which are inert)."""
     import numpy as _np
-    labels = _np.asarray(compiled.labels, _np.int32).reshape(-1, 3)
+    labels = _np.asarray(compiled.labels, _np.int32).reshape(-1, 5)
     if labels.shape[0] == 0:
-        labels = _np.full((1, 3), -1, _np.int32)
+        labels = _np.full((1, 5), -1, _np.int32)
     return Tables(
         code=jnp.asarray(_pad_pow2(_np.asarray(compiled.code, _np.int32))),
         aux=jnp.asarray(_pad_pow2(_np.asarray(compiled.aux, _np.int32))),
@@ -411,7 +411,13 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
         return advance(st, jnp.int32(ERR_OK), st, jump_pc=jnp.asarray(a))
 
     def _resolve_label(scope_id, name_buf, name_len, own_pc):
-        """Dynamic label lookup; CONTINUE → own_pc + 1."""
+        """Dynamic label lookup; CONTINUE → own_pc + 1.
+
+        The hash hit is byte-verified against the label's interned name (a
+        dynamic target string could otherwise alias a label via a crafted
+        hash collision); intra-scope label collisions are rejected at
+        compile time, so verifying the single hit row suffices.
+        """
         labels = _T["labels"]
         h = fnv1a(name_buf, name_len)
         cont = jnp.zeros((MS,), jnp.uint8).at[:8].set(
@@ -419,8 +425,12 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
         is_continue = bs.equal(name_buf, name_len, cont, jnp.int32(8))
         hit = (labels[:, 0] == scope_id) & \
               (labels[:, 1].astype(jnp.uint32) == h)
-        found = jnp.any(hit)
-        target = labels[jnp.argmax(hit), 2]
+        row = jnp.argmax(hit)
+        stored_buf, stored_len = tmpl(labels[row, 3], labels[row, 4])
+        # name_len > 0 also rejects the zero pad rows of the label table
+        found = jnp.any(hit) & (name_len > 0) & \
+            bs.equal(name_buf, name_len, stored_buf, stored_len)
+        target = labels[row, 2]
         pc = jnp.where(is_continue, own_pc + 1,
                        jnp.where(found, target, -1))
         return pc.astype(jnp.int32), is_continue

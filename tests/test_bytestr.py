@@ -127,3 +127,41 @@ def test_vmapped_and_jitted():
     outs, ns = roundtrip(bufs, lens)
     for i, s in enumerate(strs):
         assert to_str(outs[i], ns[i]) == s
+
+
+def test_find_slot_hash_collision_is_detected_not_aliased():
+    """Two slots sharing hash+len with different key bytes must never
+    silently alias: the true-key lookup succeeds (byte verify), the
+    colliding probe reports `collide` so callers park for host rescue."""
+    import jax.numpy as jnp
+    from interpolation_engine_tpu.vm.config import VMConfig
+    from interpolation_engine_tpu.vm.state import (
+        encode_inserts, find_slot, fnv1a_np)
+
+    cfg = VMConfig(max_str=64, max_key=16, n_slots=8, arena_size=256,
+                   pool_size=8, out_size=64)
+    st = encode_inserts({"aa": 1, "bb": 2}, cfg)
+    # forge a collision: pretend 'aa' (slot 0) hashes like 'bb', as a
+    # crafted colliding key pair would
+    st = st._replace(
+        key_hash=st.key_hash.at[0].set(jnp.uint32(fnv1a_np(b"bb"))))
+
+    def probe(key: bytes):
+        buf = jnp.zeros((cfg.max_str,), jnp.uint8).at[:len(key)].set(
+            jnp.array(list(key), jnp.uint8))
+        return find_slot(st, buf, jnp.int32(len(key)))
+
+    # probing 'bb' hits the hash+len prefilter on slot 0 first, whose bytes
+    # mismatch while another candidate exists -> ambiguous -> collide
+    found, slot, collide = probe(b"bb")
+    assert bool(collide) and not bool(found)
+    # an unrelated key is simply not found (no false collision)
+    found, slot, collide = probe(b"zz")
+    assert not bool(found) and not bool(collide)
+    # sanity on an unforged store: exact lookups byte-verify clean
+    st2 = encode_inserts({"aa": 1, "bb": 2}, cfg)
+    buf = jnp.zeros((cfg.max_str,), jnp.uint8).at[:2].set(
+        jnp.array(list(b"bb"), jnp.uint8))
+    found, slot, collide = find_slot(st2, buf, jnp.int32(2))
+    assert bool(found) and int(slot) == 1 and not bool(collide)
+

@@ -329,3 +329,20 @@ def test_goto_map_wildcards_and_null(tmp_path, capsys):
     state, _ = run_program(str(prog))
     assert state["output"] == "null"
     capsys.readouterr()
+
+
+def test_print_of_non_string_raises_like_reference(tmp_path):
+    # quirk: the reference calls .replace on the raw text before
+    # stringifying (interpolation_engine.py:1669-1671), so printing a
+    # simple-key int raises AttributeError — verified against the executed
+    # reference; we reproduce the same error class.
+    prog = tmp_path / "p.json5"
+    prog.write_text("""
+    {
+        default_state: {order_index: 1, inserts: {n: 5}},
+        order: [{cmd:'print', text:'{n}'}],
+        named_tasks: {}, save_states: {},
+    }
+    """)
+    with pytest.raises(AttributeError):
+        run_program(str(prog))

@@ -187,3 +187,26 @@ def test_traceback_labels_attached():
     assert serial["traceback_label"].startswith("serial-")
     sub = serial["tasks"][0]
     assert "/" in sub["traceback_label"]
+
+
+def test_str_item_containing_cmd_rejected():
+    # preserved quirk: the reference probes `'cmd' in item` on any truthy
+    # item, so a *string* containing the substring 'cmd' enters the dict
+    # branch and TypeErrors reading item['cmd'] — the program never loads
+    # (verified against the executed reference).
+    program = make_program("[{cmd:'set', item:'run the cmd', output_name:'x'}]")
+    with pytest.raises(ProgramValidationError):
+        validate_program(program)
+
+
+def test_list_item_containing_cmd_element_rejected():
+    program = make_program("[{cmd:'set', item:['a', 'cmd'], output_name:'x'}]")
+    with pytest.raises(ProgramValidationError):
+        validate_program(program)
+
+
+def test_benign_str_and_list_items_accepted():
+    validate_program(
+        make_program("[{cmd:'set', item:'command post', output_name:'x'}]"))
+    validate_program(
+        make_program("[{cmd:'set', item:['a', 'commando'], output_name:'x'}]"))
