@@ -82,30 +82,18 @@ def measure():
     from interpolation_engine_tpu.compiler import compile_program
     from interpolation_engine_tpu.programs.loader import add_line_numbers
     from interpolation_engine_tpu.programs.validator import validate_program
-    from interpolation_engine_tpu.vm.config import VMConfig
-    from interpolation_engine_tpu.vm.driver import DeviceRunner
 
     platform = jax.devices()[0].platform
     on_accel = platform not in ("cpu",)
 
-    # defaults sized so one device dispatch stays well under the remote-
-    # execution deadline; the host loop accumulates rounds
     n_instances = int(os.environ.get(
-        "BENCH_INSTANCES", 16_384 if on_accel else 512))
-    inner_steps = int(os.environ.get("BENCH_INNER_STEPS", 8))
-    rounds = int(os.environ.get("BENCH_ROUNDS", 6))
-
-    cfg = VMConfig(max_str=96, max_key=24, n_slots=8, arena_size=512,
-                   pool_size=8, out_size=128, max_subst=6, max_stars=2,
-                   max_list=4, max_fix=4)
+        "BENCH_INSTANCES", 131_072 if on_accel else 2_048))
+    rounds = int(os.environ.get("BENCH_ROUNDS", 8))
 
     program = json5.loads(add_line_numbers(BENCH_PROGRAM))
     validate_program(program)
     compiled = compile_program(program)
     assert not compiled.host_only
-
-    runner = DeviceRunner(compiled, cfg, mode="jit")
-    batch = runner.make_instances(n_instances)
 
     # persistent compile cache: TPU executables reload across processes
     try:
@@ -114,7 +102,69 @@ def measure():
     except Exception:
         pass
 
-    # warmup + compile (same static inner_steps as the timed loop → one jit)
+    engine = os.environ.get("BENCH_ENGINE", "turbo")
+    if engine == "turbo":
+        executed, elapsed, compile_s = _measure_turbo(
+            compiled, n_instances, rounds, on_accel)
+    else:
+        executed, elapsed, compile_s = _measure_general(
+            compiled, n_instances, rounds)
+
+    tasks_per_sec = executed / elapsed
+    result = {
+        "metric": (f"batched VM tasks/sec ({n_instances} instances, "
+                   f"{platform}, {engine} engine)"),
+        "value": round(tasks_per_sec, 1),
+        "unit": "tasks/sec",
+        "vs_baseline": round(tasks_per_sec / TARGET_TASKS_PER_SEC, 4),
+    }
+    print(json.dumps(result))
+    print(f"# executed={executed} elapsed={elapsed:.3f}s "
+          f"compile={compile_s:.1f}s platform={platform}", file=sys.stderr)
+
+
+def _measure_turbo(compiled, n_instances, rounds, on_accel):
+    """The turbo engine: one Pallas mega-kernel, K VM steps per launch."""
+    import numpy as np
+    import jax
+    from interpolation_engine_tpu.vm.turbo import TurboConfig, TurboEngine
+
+    inner_steps = int(os.environ.get("BENCH_INNER_STEPS", 32))
+    tcfg = TurboConfig(tile=int(os.environ.get("BENCH_TILE", 256)),
+                       width=128, out_width=128, k_steps=inner_steps)
+    eng = TurboEngine(compiled, tcfg)
+    batch = eng.make_batch(n_instances)
+    step = eng.step_fn(batch.regs.shape[0])
+
+    t0 = time.perf_counter()
+    batch = step(batch)
+    jax.block_until_ready(batch.regs)
+    compile_s = time.perf_counter() - t0
+
+    steps0 = int(np.asarray(batch.regs[:, 2]).sum())
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        batch = step(batch)
+    jax.block_until_ready(batch.regs)
+    elapsed = time.perf_counter() - t0
+    steps1 = int(np.asarray(batch.regs[:, 2]).sum())
+    return steps1 - steps0, elapsed, compile_s
+
+
+def _measure_general(compiled, n_instances, rounds):
+    """The general lax.switch VM (semantically total fallback engine)."""
+    import numpy as np
+    import jax
+    from interpolation_engine_tpu.vm.config import VMConfig
+    from interpolation_engine_tpu.vm.driver import DeviceRunner
+
+    inner_steps = int(os.environ.get("BENCH_INNER_STEPS", 8))
+    cfg = VMConfig(max_str=96, max_key=24, n_slots=8, arena_size=512,
+                   pool_size=8, out_size=128, max_subst=6, max_stars=2,
+                   max_list=4, max_fix=4)
+    runner = DeviceRunner(compiled, cfg, mode="jit")
+    batch = runner.make_instances(n_instances)
+
     t0 = time.perf_counter()
     warm = runner._jitted(batch, inner_steps)
     jax.block_until_ready(warm.steps)
@@ -128,19 +178,7 @@ def measure():
     jax.block_until_ready(state.steps)
     elapsed = time.perf_counter() - t0
     steps_after = int(np.asarray(jax.device_get(state.steps)).sum())
-
-    executed = steps_after - steps_before
-    tasks_per_sec = executed / elapsed
-
-    result = {
-        "metric": f"batched VM tasks/sec ({n_instances} instances, {platform})",
-        "value": round(tasks_per_sec, 1),
-        "unit": "tasks/sec",
-        "vs_baseline": round(tasks_per_sec / TARGET_TASKS_PER_SEC, 4),
-    }
-    print(json.dumps(result))
-    print(f"# executed={executed} elapsed={elapsed:.3f}s "
-          f"compile={compile_s:.1f}s platform={platform}", file=sys.stderr)
+    return steps_after - steps_before, elapsed, compile_s
 
 
 if __name__ == "__main__":

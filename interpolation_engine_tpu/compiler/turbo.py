@@ -1,0 +1,542 @@
+"""Turbo planner: lower a compiled program to trace-time instruction IR.
+
+The turbo engine (vm/turbo.py) is the fast device path: ONE Pallas kernel
+runs K VM steps per launch, dispatching with ``lax.switch`` over the *program
+counter* — each branch is the instruction at that pc, specialized at trace
+time. That specialization is what this module computes:
+
+* **static insert slots** — every key the program can ever define is
+  enumerated here and assigned a fixed slot index, so runtime lookups are
+  static array indices (no hashing, no search). The reference's
+  ``state['inserts']`` dict (interpolation_engine.py:426-467) becomes a
+  compile-time register file.
+* **segmented templates** — interpolation templates are parsed once, at plan
+  time, into literal byte spans and slot holes (the innermost-first scan of
+  interpolation_engine.py:516-535 runs here, on static text, not on device).
+* **decomposed wildcard patterns** — goto_map keys (``interpolation_engine
+  .py:1689-1711``) compile to exact/prefix/suffix byte comparisons.
+
+Anything not expressible parks: either per-instruction (``IPark`` — the host
+ring executes the original task exactly and resumes) or per-program
+(``NotTurbo`` — the driver falls back to the general lax.switch VM, which is
+semantically total). The turbo engine therefore never approximates: device
+semantics equal host semantics or the lane PARKs.
+
+Eligibility (NotTurbo) is about *state shape*: every key that can ever
+persist in ``state['inserts']`` must be statically known and hold an
+int-or-string value that fits the slot byte width, because parked lanes are
+decoded/encoded through the static slot table. Lists, dynamic output names,
+``for`` loops (v1), and inserts-dir fallbacks stay on the general engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Union
+
+from ..vm import isa
+from ..vm.config import PARK_HOST_OP
+from .lower import CompiledProgram
+from .math_rpn import compile_math_rpn
+
+INSERT_START = "{"
+INSERT_STOP = "}"
+ESCAPE = "\\"
+
+MAX_SLOTS = 30
+MAX_INSTRS = 96
+
+# characters allowed in non-star pattern text: the reference feeds goto_map
+# keys to re.match after replacing '*' with '(.*)' WITHOUT escaping the rest
+# (core/wildcard.py preserves that), so any regex metacharacter in a pattern
+# must keep the host/general path
+_SAFE_PATTERN_CHARS = set(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    " _-,:;!@#~'\"<>/&=%`"
+)
+
+
+class NotTurbo(Exception):
+    """Program shape the turbo engine cannot hold; use the general VM."""
+
+
+# ---------------------------------------------------------------------------
+# instruction IR (consumed by vm/turbo.py at trace time)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Lit:
+    data: bytes
+
+
+@dataclass(frozen=True)
+class Hole:
+    slot: int
+
+
+Segment = Union[Lit, Hole]
+
+
+@dataclass(frozen=True)
+class IHalt:
+    pass
+
+
+@dataclass(frozen=True)
+class INop:
+    """pc+1 tick (sleep runs as a zero-time tick, like the general VM)."""
+
+
+@dataclass(frozen=True)
+class IGoto:
+    target: int
+
+
+@dataclass(frozen=True)
+class IPark:
+    """Blocking/host-serviced leaf op: lane parks, ring executes the source
+    task exactly, resume continues at pc+1 (or the serviced goto target)."""
+    kind: int
+
+
+@dataclass(frozen=True)
+class IClear:
+    pass
+
+
+@dataclass(frozen=True)
+class ISet:
+    """set / specialized value producer. src is one of:
+    ('int', v) | ('str', bytes) | ('copy', slot) | ('tmpl', tuple[Segment])."""
+    out_slot: int
+    src: tuple
+
+
+@dataclass(frozen=True)
+class IMath:
+    """Unrolled RPN over int slots. ops: ('const', v) | ('slot', s) |
+    ('add'|'sub'|'mul'|'div'|'mod'|'neg'|'sign'|'min2'|'max2',)."""
+    out_slot: int
+    ops: tuple
+
+
+@dataclass(frozen=True)
+class IPrint:
+    """Append template to the output buffer. Static segments are already
+    unescaped (print-time unescape of interpolation_engine.py:1669-1671);
+    hole values containing an escaped brace park for host unescaping."""
+    tmpl: tuple
+
+
+@dataclass(frozen=True)
+class IGotoMap:
+    """entries: ((pattern, target_pc), ...) in program order; pattern is
+    ('exact', bytes) | ('prefix', bytes) | ('suffix', bytes) |
+    ('affix', pre, suf) | ('any',). null_pc handles interpolation misses."""
+    tmpl: tuple
+    entries: tuple
+    null_pc: Optional[int]
+
+
+@dataclass(frozen=True)
+class IDelete:
+    """delete/delete_except with static wildcards: the matching slot set is
+    computed here, against the full static key universe."""
+    slots: tuple
+
+
+Instr = Union[IHalt, INop, IGoto, IPark, IClear, ISet, IMath, IPrint,
+              IGotoMap, IDelete]
+
+
+@dataclass
+class TurboPlan:
+    instrs: list
+    slot_names: list
+    slot_of: dict
+    compiled: CompiledProgram
+    n_parks: int = 0
+    park_kind_of: dict = field(default_factory=dict)  # pc -> ring kind
+
+    @property
+    def n_instr(self) -> int:
+        return len(self.instrs)
+
+    @property
+    def n_slots(self) -> int:
+        return len(self.slot_names)
+
+
+# ---------------------------------------------------------------------------
+# key universe
+# ---------------------------------------------------------------------------
+
+def _literal_name(value) -> Optional[str]:
+    if isinstance(value, str) and not any(c in value for c in "{}\\"):
+        return value
+    return None
+
+
+def _walk_tasks(task):
+    yield task
+    for key in ("tasks",):
+        sub = task.get(key)
+        if isinstance(sub, list):
+            for t in sub:
+                if isinstance(t, dict):
+                    yield from _walk_tasks(t)
+    item = task.get("item")
+    if isinstance(item, dict) and "cmd" in item:
+        yield from _walk_tasks(item)
+
+
+_LIST_PRODUCERS = {"list_concat", "list_append", "list_remove", "list_slice",
+                   "list_join"}
+
+
+def _collect_keys(program: dict) -> list:
+    """All keys that can ever persist in state['inserts'] — or NotTurbo."""
+    keys: list[str] = []
+
+    def add(k: str):
+        if k not in keys:
+            keys.append(k)
+
+    inserts = program.get("default_state", {}).get("inserts", {})
+    for k, v in inserts.items():
+        if isinstance(v, bool) or not isinstance(v, (int, str)):
+            raise NotTurbo(f"non int/str default insert {k!r}")
+        add(str(k))
+
+    roots = list(program.get("order", []))
+    for sub in (program.get("named_tasks") or {}).values():
+        if isinstance(sub, dict):
+            roots.append(sub)
+    for root in roots:
+        if not isinstance(root, dict):
+            raise NotTurbo("dynamic task list")
+        for t in _walk_tasks(root):
+            cmd = t.get("cmd")
+            if cmd in _LIST_PRODUCERS or cmd in ("list_index", "for",
+                                                 "random_choice"):
+                # list values (or list-consuming ops) don't fit the slot model
+                raise NotTurbo(f"{cmd} needs list values")
+            if cmd == "chat" and (t.get("n_outputs", 1) != 1
+                                  or "choices_list" in t):
+                raise NotTurbo("chat may store a list")
+            if cmd == "set" and isinstance(t.get("item"), (list, dict)):
+                raise NotTurbo("set of a list/dict item")
+            if cmd == "replace_map" and isinstance(t.get("item"),
+                                                   (list, dict)):
+                raise NotTurbo("replace_map of a list/dict item")
+            if "output_name" in t:
+                name = _literal_name(t["output_name"])
+                if name is None:
+                    raise NotTurbo(
+                        f"dynamic output_name {t['output_name']!r}")
+                add(name)
+            if cmd == "for":
+                for name in (t.get("name_list_map") or {}):
+                    add(str(name))
+    return keys
+
+
+# ---------------------------------------------------------------------------
+# template parsing (static text → segments)
+# ---------------------------------------------------------------------------
+
+def _parse_template(text: str, slot_for) -> Optional[tuple]:
+    """Split static text into Lit/Hole segments, or None when the template
+    needs the general interpolation kernel (escapes, nesting, indirection,
+    special time keys)."""
+    if ESCAPE in text:
+        return None
+    segments: list[Segment] = []
+    pos = 0
+    lit_start = 0
+    n = len(text)
+    while pos < n:
+        c = text[pos]
+        if c == INSERT_STOP:
+            return None  # unbalanced; host raises the exact assertion
+        if c != INSERT_START:
+            pos += 1
+            continue
+        close = text.find(INSERT_STOP, pos + 1)
+        if close == -1:
+            return None
+        key = text[pos + 1:close]
+        if not key or INSERT_START in key or INSERT_STOP in key:
+            return None  # nested / {{k}/x} indirection / empty key
+        if key in ("HH:MM", "HH:MM:SS"):
+            return None  # special time keys stay on the host path
+        # ARGn keys are ordinary slots (populated at batch creation); a
+        # missing ARGn parks and the host raises its tailored error
+        if pos > lit_start:
+            segments.append(Lit(text[lit_start:pos].encode("utf-8")))
+        slot = slot_for(key)
+        if slot is None:
+            return None
+        segments.append(Hole(slot))
+        pos = close + 1
+        lit_start = pos
+    if lit_start < n:
+        segments.append(Lit(text[lit_start:n].encode("utf-8")))
+    return tuple(segments)
+
+
+def _unescape_static(segments: tuple) -> tuple:
+    """Print-time unescape of literal spans (escapes were excluded above, so
+    this is currently the identity — kept for when templates with static
+    escapes are admitted)."""
+    return tuple(
+        Lit(s.data.replace(b"\\{", b"{").replace(b"\\}", b"}"))
+        if isinstance(s, Lit) else s
+        for s in segments)
+
+
+def _compile_pattern(key: str) -> Optional[tuple]:
+    if key == "*":
+        return ("any",)
+    if any(c not in _SAFE_PATTERN_CHARS and c != "*" for c in key):
+        return None
+    n_star = key.count("*")
+    if n_star == 0:
+        return ("exact", key.encode("utf-8"))
+    if n_star == 1:
+        pre, suf = key.split("*")
+        if not suf:
+            return ("prefix", pre.encode("utf-8"))
+        if not pre:
+            return ("suffix", suf.encode("utf-8"))
+        return ("affix", pre.encode("utf-8"), suf.encode("utf-8"))
+    return None  # multi-star patterns keep the general/host path
+
+
+# ---------------------------------------------------------------------------
+# planner
+# ---------------------------------------------------------------------------
+
+def plan_turbo(compiled: CompiledProgram) -> TurboPlan:
+    """Lower a compiled program to turbo IR, or raise NotTurbo."""
+    if compiled.host_only:
+        raise NotTurbo(f"host_only: {compiled.host_only_reason}")
+    if compiled.n_instr > MAX_INSTRS:
+        raise NotTurbo(f"{compiled.n_instr} instructions > {MAX_INSTRS}")
+
+    program = compiled.program
+    keys = _collect_keys(program)
+
+    slot_of: dict[str, int] = {}
+    slot_names: list[str] = []
+
+    def intern_slot(key: str) -> Optional[int]:
+        if key in slot_of:
+            return slot_of[key]
+        if len(slot_names) >= MAX_SLOTS:
+            raise NotTurbo("too many insert keys for the slot file")
+        slot_of[key] = len(slot_names)
+        slot_names.append(key)
+        return slot_of[key]
+
+    for k in keys:
+        intern_slot(k)
+
+    def slot_for(key: str) -> Optional[int]:
+        """Slot for a key referenced in a template. ARGn keys are admitted
+        on demand (they're populated at batch creation); any other key not
+        in the persistent universe can never be defined, and still gets a
+        slot — it just stays empty forever, which IS the reference's
+        missing-key behavior."""
+        return intern_slot(key)
+
+    plan = TurboPlan(instrs=[], slot_names=slot_names, slot_of=slot_of,
+                     compiled=compiled)
+
+    def park(pc: int, kind: int = PARK_HOST_OP) -> IPark:
+        plan.n_parks += 1
+        plan.park_kind_of[pc] = kind
+        return IPark(kind)
+
+    code = compiled.code
+    for pc in range(compiled.n_instr):
+        op, a, b, c = (int(v) for v in code[pc])
+        task = compiled.source_tasks[pc]
+        plan.instrs.append(_plan_instr(
+            plan, compiled, pc, op, a, b, task, slot_for, park))
+
+    return plan
+
+
+def _plan_instr(plan, compiled, pc, op, a, b, task, slot_for, park):
+    if op == isa.OP_HALT:
+        return IHalt()
+    if op == isa.OP_NOP:
+        return INop()
+    if op == isa.OP_SLEEP:
+        return INop()
+    if op == isa.OP_CLEAR:
+        return IClear()
+    if op == isa.OP_GOTO:
+        return IGoto(a)
+    if op == isa.OP_PARK:
+        return park(pc, a)
+
+    if op in (isa.OP_PRINT, isa.OP_PRINT_LIT):
+        text = task.get("text")
+        if not isinstance(text, str):
+            return park(pc)  # int text AttributeErrors on host (quirk)
+        tmpl = _parse_template(text, slot_for)
+        if tmpl is None:
+            return park(pc)
+        if len(tmpl) == 1 and isinstance(tmpl[0], Hole):
+            # print of a simple key: non-string values crash in the
+            # reference; the device renders strings and parks the rest —
+            # IPrint's runtime type check handles it
+            pass
+        return IPrint(_unescape_static(tmpl))
+
+    if op in (isa.OP_SET, isa.OP_SET_LN):
+        name = _literal_name(task.get("output_name"))
+        if name is None:
+            return park(pc)
+        out_slot = slot_for(name)
+        item = task.get("item")
+        if isinstance(item, bool):
+            return park(pc)
+        if isinstance(item, int):
+            return ISet(out_slot, ("int", item))
+        if not isinstance(item, str):
+            return park(pc)
+        tmpl = _parse_template(item, slot_for)
+        if tmpl is None:
+            return park(pc)
+        if len(tmpl) == 1 and isinstance(tmpl[0], Hole):
+            return ISet(out_slot, ("copy", tmpl[0].slot))
+        if len(tmpl) == 1 and isinstance(tmpl[0], Lit):
+            return ISet(out_slot, ("str", tmpl[0].data))
+        if len(tmpl) == 0:
+            return ISet(out_slot, ("str", b""))
+        return ISet(out_slot, ("tmpl", tmpl))
+
+    if op in (isa.OP_MATH_RPN, isa.OP_MATH_RPN_LN, isa.OP_MATH):
+        name = _literal_name(task.get("output_name"))
+        if name is None:
+            return park(pc)
+        out_slot = slot_for(name)
+        ops = _plan_math(task.get("input"), slot_for)
+        if ops is None:
+            return park(pc)
+        return IMath(out_slot, ops)
+
+    if op in (isa.OP_GOTO_MAP, isa.OP_GOTO_MAP_LIT):
+        return _plan_goto_map(plan, compiled, pc, task, slot_for, park)
+
+    if op in (isa.OP_DELETE, isa.OP_DELETE_EXCEPT):
+        wildcards = task.get("wildcards")
+        if not isinstance(wildcards, list) or any(
+                not isinstance(w, str) for w in wildcards):
+            return park(pc)
+        pats = [_compile_pattern(w) for w in wildcards]
+        if any(p is None for p in pats):
+            return park(pc)
+        matched = set()
+        for s, key in enumerate(plan.slot_names):
+            hit = any(_match_static(p, key) for p in pats)
+            if op == isa.OP_DELETE and hit:
+                matched.add(s)
+            if op == isa.OP_DELETE_EXCEPT and not hit:
+                matched.add(s)
+        return IDelete(tuple(sorted(matched)))
+
+    # replace_map, unescape, random_choice, list ops, for — exact host
+    # execution per lane (leaf tasks resume at pc+1)
+    if op in (isa.OP_FOR_HEAD, isa.OP_FOR_NEXT):
+        raise NotTurbo("for loops not yet on the turbo path")
+    return park(pc)
+
+
+def _match_static(pattern: tuple, key: str) -> bool:
+    data = key.encode("utf-8")
+    kind = pattern[0]
+    if kind == "any":
+        return True
+    if kind == "exact":
+        return data == pattern[1]
+    if kind == "prefix":
+        return data.startswith(pattern[1])
+    if kind == "suffix":
+        return data.endswith(pattern[1])
+    pre, suf = pattern[1], pattern[2]
+    return (len(data) >= len(pre) + len(suf)
+            and data.startswith(pre) and data.endswith(suf))
+
+
+def _plan_math(text, slot_for) -> Optional[tuple]:
+    """Reuse the RPN front-end with a recording intern; holes become slots."""
+    if not isinstance(text, str):
+        return None
+    recorded: list[str] = []
+
+    def intern(s: str):
+        recorded.append(s)
+        return len(recorded) - 1, len(s)
+
+    rpn = compile_math_rpn(text, intern)
+    if rpn is None:
+        return None
+    n = rpn[0]
+    ops: list[tuple] = []
+    for i in range(n):
+        kind, x, y = rpn[1 + 3 * i:4 + 3 * i]
+        if kind == isa.RPN_CONST:
+            ops.append(("const", x))
+        elif kind == isa.RPN_HOLE:
+            slot = slot_for(recorded[x])
+            if slot is None:
+                return None
+            ops.append(("slot", slot))
+        elif kind in (isa.RPN_LENGTH, isa.RPN_MINLIST, isa.RPN_MAXLIST):
+            return None  # list functions
+        else:
+            name = {isa.RPN_ADD: "add", isa.RPN_SUB: "sub",
+                    isa.RPN_MUL: "mul", isa.RPN_DIV: "div",
+                    isa.RPN_MOD: "mod", isa.RPN_NEG: "neg",
+                    isa.RPN_SIGN: "sign", isa.RPN_MIN2: "min2",
+                    isa.RPN_MAX2: "max2"}.get(kind)
+            if name is None:
+                return None
+            ops.append((name,))
+    return tuple(ops)
+
+
+def _plan_goto_map(plan, compiled, pc, task, slot_for, park):
+    text = task.get("text")
+    if not isinstance(text, str):
+        return park(pc)
+    tmpl = _parse_template(text, slot_for)
+    if tmpl is None:
+        return park(pc)
+    scope = compiled.scope_of[pc]
+    entries = []
+    null_pc = None
+    for d in task.get("target_maps", []):
+        key = next(iter(d.keys()))
+        target = next(iter(d.values()))
+        if not isinstance(key, str) or not isinstance(target, str):
+            return park(pc)
+        if any(ch in key or ch in target for ch in "{}\\"):
+            return park(pc)  # interpolated keys/targets: host path
+        if target == "CONTINUE":
+            tgt_pc = pc + 1
+        else:
+            tgt_pc = compiled.label_names.get((scope, target))
+            if tgt_pc is None:
+                return park(pc)  # host raises the exact missing-label error
+        pat = _compile_pattern(key)
+        if pat is None:
+            return park(pc)
+        if key == "NULL" and null_pc is None:
+            null_pc = tgt_pc
+        entries.append((pat, tgt_pc))
+    return IGotoMap(tmpl, tuple(entries), null_pc)

@@ -1,0 +1,974 @@
+"""Turbo engine: the whole VM step loop as ONE Pallas TPU kernel.
+
+The general engine (vm/step.py) interprets the instruction table with a
+lax.switch over *opcodes*, paying hundreds of unfused XLA ops (~20 µs launch
+overhead each — benchmarks/README.md) per step. The turbo engine compiles
+each *program* into a single Mosaic kernel that runs K VM steps per launch:
+
+* dispatch is ``lax.switch`` over the **program counter**; every branch is
+  the instruction at that pc, specialized at trace time from the turbo plan
+  (compiler/turbo.py): static insert slots, segmented templates, decomposed
+  wildcard patterns, unrolled RPN math.
+* state lives in VMEM for all K steps; the grid streams instance tiles
+  HBM→VMEM→HBM once per launch (not once per step).
+* divergence uses min-pc scheduling: each inner step executes the lowest
+  live pc, masked to the lanes sitting at it — lockstep batches pay one
+  branch per step (the common case for batched rollouts); divergent batches
+  serialize per distinct pc, which is the SIMT-convergence optimum for a
+  single-kernel VM.
+
+Semantics contract: identical to the host oracle or PARK. Lanes hitting
+anything the specialized branches can't reproduce byte-exactly (missing
+keys on strict ops, value strings carrying braces/escapes, capacity
+overflow, host-op instructions) park; the ring executes the *original* task
+with the exact host executor and resumes — same protocol as vm/driver.py.
+
+Layouts (N instances, S static slots, W slot-string bytes, OW output bytes;
+int32 everywhere — Mosaic has no uint8 vectors, benchmarks/mosaic_probe2):
+
+  regs : (N, 128)   ALL per-lane scalars packed into one lane-padded block:
+                    col 0 pc, 1 status, 2 steps, 3 out_len, then per slot s
+                    4+s = type, 4+S+s = int value, 4+2S+s = string length.
+                    (Separate (N,1)/(N,S) arrays each pad to 128 lanes
+                    physically — packing them 8× over blew scoped VMEM.)
+  sbuf : (S, N, W)  slot string bytes, one per int32 lane
+  out  : (N, OW)    output buffer bytes
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..compiler.turbo import (
+    Hole,
+    IClear,
+    IDelete,
+    IGoto,
+    IGotoMap,
+    IHalt,
+    IMath,
+    INop,
+    IPark,
+    IPrint,
+    ISet,
+    Lit,
+    NotTurbo,
+    TurboPlan,
+)
+from .config import DONE, PARKED, RUNNING
+from .state import T_EMPTY, T_INT, T_STR
+
+BRACE_OPEN, BRACE_CLOSE, BACKSLASH = 123, 125, 92
+
+REGW = 128
+C_PC, C_STATUS, C_STEPS, C_OUTLEN, C_BASE = 0, 1, 2, 3, 4
+
+
+@dataclass(frozen=True)
+class TurboConfig:
+    tile: int = 512     # instances per grid step (VMEM-resident)
+    width: int = 128    # slot string bytes (lane dimension; keep ×128)
+    out_width: int = 256
+    k_steps: int = 32   # VM steps per kernel launch
+
+
+class _Cols:
+    """Register-column layout for S slots (4 control + 3S slot scalars)."""
+
+    def __init__(self, S: int):
+        if C_BASE + 3 * S > REGW:
+            raise NotTurbo(f"{S} slots exceed the register block")
+        self.S = S
+
+    def stype(self, s: int) -> int:
+        return C_BASE + s
+
+    def sint(self, s: int) -> int:
+        return C_BASE + self.S + s
+
+    def slen(self, s: int) -> int:
+        return C_BASE + 2 * self.S + s
+
+
+class TurboBatch(NamedTuple):
+    regs: jnp.ndarray    # (N, 128) int32
+    sbuf: jnp.ndarray    # (S, N, W) int32 (ascii bytes)
+    out: jnp.ndarray     # (N, OW) int32 (ascii bytes)
+
+
+class _TS(NamedTuple):
+    """Kernel-internal tile state (VMEM values carried through the loop)."""
+    regs: jnp.ndarray    # (TILE, 128)
+    strs: tuple          # S arrays (TILE, W)
+    out: jnp.ndarray     # (TILE, OW)
+
+
+# ---------------------------------------------------------------------------
+# trace-time building blocks (all shapes static)
+# ---------------------------------------------------------------------------
+
+def _iota(t, w):
+    return jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
+
+
+def _rd(ts: _TS, c: int):
+    return jax.lax.slice_in_dim(ts.regs, c, c + 1, axis=1)
+
+
+def _wr(regs, c: int, val, mask):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, REGW), 1)
+    return jnp.where(mask & (lane == c), val, regs)
+
+
+class _LitTable:
+    """Byte literals threaded into the kernel as ONE (L, w) input array —
+    Pallas forbids captured array constants. Registered during a pre-pass
+    over the plan IR; read inside the kernel via a static row index."""
+
+    def __init__(self, w: int):
+        self.w = w
+        self.index: dict[bytes, int] = {}
+
+    def register(self, data: bytes) -> int:
+        if len(data) > self.w:
+            raise NotTurbo(f"literal longer than slot width: {data[:32]!r}…")
+        if data not in self.index:
+            self.index[data] = len(self.index)
+        return self.index[data]
+
+    def array(self) -> np.ndarray:
+        table = np.zeros((max(len(self.index), 1), self.w), np.int32)
+        for data, i in self.index.items():
+            table[i, :len(data)] = list(data)
+        return table
+
+    def collect(self, instrs) -> None:
+        for ins in instrs:
+            if isinstance(ins, ISet):
+                if ins.src[0] == "str":
+                    self.register(ins.src[1])
+                elif ins.src[0] == "tmpl":
+                    self._collect_tmpl(ins.src[1])
+            elif isinstance(ins, IPrint):
+                self._collect_tmpl(ins.tmpl)
+            elif isinstance(ins, IGotoMap):
+                self._collect_tmpl(ins.tmpl)
+                for pat, _tpc in ins.entries:
+                    for part in pat[1:]:
+                        self.register(part)
+
+    def _collect_tmpl(self, tmpl):
+        for seg in tmpl:
+            if isinstance(seg, Lit):
+                self.register(seg.data)
+
+
+def _mk_lit(lits_ref, table: _LitTable, t: int):
+    """Kernel-side literal loader: data -> ((t, w) bytes, python-int len)."""
+    def lit(data: bytes):
+        row = lits_ref[table.index[data]]          # (w,) static row
+        return jnp.broadcast_to(row[None, :], (t, table.w)), len(data)
+    return lit
+
+
+_POW10 = [10 ** k for k in range(10)]
+
+
+def _int_to_dec(v, t: int, w: int):
+    """Decimal ascii of (t,1) int32 → ((t,w) bytes, (t,1) len). Matches
+    Python str(int) incl. INT32_MIN (two's-complement magnitude)."""
+    neg = v < 0
+    mag = jnp.where(neg, (~v).astype(jnp.uint32) + jnp.uint32(1),
+                    v.astype(jnp.uint32))
+    nd = jnp.int32(1) + sum(
+        (mag >= jnp.uint32(p)).astype(jnp.int32) for p in _POW10[1:])
+    cols = [((mag // jnp.uint32(p)) % jnp.uint32(10)).astype(jnp.int32)
+            for p in _POW10]
+    table = jnp.pad(jnp.concatenate(cols, axis=1), ((0, 0), (0, w - 10)))
+    pos = _iota(t, w)
+    e = nd - 1 - pos
+    dig = jnp.take_along_axis(table, jnp.clip(e, 0, w - 1), axis=1)
+    buf = jnp.where(pos < nd, dig + 48, 0)
+    # sign: shift digits right one, '-' (45) at position 0
+    shifted = jnp.take_along_axis(buf, jnp.clip(pos - 1, 0, w - 1), axis=1)
+    nbuf = jnp.where(pos == 0, 45, jnp.where(pos < nd + 1, shifted, 0))
+    buf = jnp.where(neg, nbuf, buf)
+    return buf, nd + neg.astype(jnp.int32)
+
+
+def _parse_dec(buf, ln, t: int, w: int):
+    """Parse optionally-signed decimal ascii → ((t,1) int32, ok). Values
+    needing >9 digits stay unparsed (ok=False → park, host exact)."""
+    pos = _iota(t, w)
+    b0 = jax.lax.slice_in_dim(buf, 0, 1, axis=1)
+    has_sign = (ln > 0) & ((b0 == 45) | (b0 == 43))
+    neg = has_sign & (b0 == 45)
+    start = has_sign.astype(jnp.int32)
+    in_rng = (pos >= start) & (pos < ln)
+    is_digit = (buf >= 48) & (buf <= 57)
+    ndig = ln - start
+    ok = (ndig > 0) & (ndig <= 9) & \
+        jnp.all(~in_rng | is_digit, axis=1, keepdims=True)
+    # powers-of-ten table built from traced ops (array constants cannot be
+    # captured by a Pallas kernel)
+    ones = (ln * 0) + 1
+    cols = [ones]
+    for _ in range(9):
+        cols.append(cols[-1] * 10)
+    ptab = jnp.pad(jnp.concatenate(cols, axis=1), ((0, 0), (0, w - 10)))
+    powv = jnp.take_along_axis(
+        ptab, jnp.clip(ln - 1 - pos, 0, w - 1), axis=1)
+    val = jnp.sum(jnp.where(in_rng, (buf - 48) * powv, 0),
+                  axis=1, keepdims=True)
+    return jnp.where(neg, -val, val), ok
+
+
+def _has_brace_or_escape(buf, ln, t: int, w: int):
+    pos = _iota(t, w)
+    bad = ((buf == BRACE_OPEN) | (buf == BRACE_CLOSE) | (buf == BACKSLASH)) \
+        & (pos < ln)
+    return jnp.any(bad, axis=1, keepdims=True)
+
+
+def _render(ts: _TS, cols: _Cols, tmpl, t: int, w: int, lit):
+    """Evaluate a segmented template → (buf, len, missing, park).
+
+    ``missing`` = a hole's slot is empty (InterpolationException semantics;
+    strict callers park, goto_map routes to NULL). ``park`` = overflow or a
+    hole value carrying braces/escapes, whose re-scan semantics
+    (interpolation_engine.py:516-535) only the host path reproduces.
+
+    Segments are appended at a running offset; while the offset is still a
+    trace-time constant (leading literals), appends are static shifts —
+    the per-lane gather is only paid after the first variable-length hole.
+    """
+    zero_i = _rd(ts, C_PC) * 0              # traced zeros (no constants)
+    f = zero_i == 1
+    buf = _iota(t, w) * 0
+    ln = zero_i
+    missing, park = f, f
+    pos = _iota(t, w)
+    const_off = 0                           # trace-time offset while known
+    for seg in tmpl:
+        if isinstance(seg, Lit):
+            sbuf, sln_c = lit(seg.data)
+            sln = None                      # constant-length segment
+        else:
+            s = seg.slot
+            st = _rd(ts, cols.stype(s))
+            is_int = st == T_INT
+            is_str = st == T_STR
+            ibuf, iln = _int_to_dec(_rd(ts, cols.sint(s)), t, w)
+            vbuf, vln = ts.strs[s], _rd(ts, cols.slen(s))
+            sbuf = jnp.where(is_int, ibuf, vbuf)
+            sln = jnp.where(is_int, iln, jnp.where(is_str, vln, 0))
+            missing = missing | (st == T_EMPTY)
+            park = park | (is_str & _has_brace_or_escape(vbuf, vln, t, w))
+        if const_off is not None:
+            # offset still static: place with a static shift
+            if const_off == 0:
+                placed = sbuf
+            else:
+                placed = jnp.pad(sbuf, ((0, 0), (const_off, 0)))[:, :w]
+            if sln is None:
+                seg_len = len_c = sln_c
+                mask = (pos >= const_off) & (pos < const_off + len_c)
+                buf = jnp.where(mask, placed, buf)
+                ln = ln + seg_len
+                const_off += sln_c
+            else:
+                mask = (pos >= const_off) & (pos < const_off + sln)
+                buf = jnp.where(mask, placed, buf)
+                ln = ln + sln
+                const_off = None            # offset now data-dependent
+        else:
+            seg_ln = (zero_i + sln_c) if sln is None else sln
+            shifted = jnp.take_along_axis(
+                sbuf, jnp.clip(pos - ln, 0, w - 1), axis=1)
+            buf = jnp.where((pos >= ln) & (pos < ln + seg_ln), shifted, buf)
+            ln = ln + seg_ln
+    park = park | (ln > w)
+    buf = jnp.where(pos < ln, buf, 0)
+    return buf, jnp.minimum(ln, w), missing, park
+
+
+def _match(pattern, buf, ln, t: int, w: int, lit):
+    pos = _iota(t, w)
+    kind = pattern[0]
+    if kind == "any":
+        return (ln * 0) == 0
+    if kind == "exact":
+        cb, cl = lit(pattern[1])
+        return (ln == cl) & jnp.all(buf == cb, axis=1, keepdims=True)
+    if kind == "prefix":
+        cb, cl = lit(pattern[1])
+        return (ln >= cl) & jnp.all((pos >= cl) | (buf == cb),
+                                    axis=1, keepdims=True)
+    if kind == "suffix":
+        cb, cl = lit(pattern[1])
+        tail = jnp.take_along_axis(buf, jnp.clip(pos + ln - cl, 0, w - 1),
+                                   axis=1)
+        return (ln >= cl) & jnp.all((pos >= cl) | (tail == cb),
+                                    axis=1, keepdims=True)
+    # affix
+    pre, suf = pattern[1], pattern[2]
+    pb, plen = lit(pre)
+    sb, slen_c = lit(suf)
+    pre_ok = jnp.all((pos >= plen) | (buf == pb), axis=1, keepdims=True)
+    tail = jnp.take_along_axis(buf, jnp.clip(pos + ln - slen_c, 0, w - 1),
+                               axis=1)
+    suf_ok = jnp.all((pos >= slen_c) | (tail == sb), axis=1, keepdims=True)
+    return (ln >= plen + slen_c) & pre_ok & suf_ok
+
+
+# ---------------------------------------------------------------------------
+# branch builders
+# ---------------------------------------------------------------------------
+
+def _advance(ts: _TS, cols: _Cols, act, ok, parkm, next_pc,
+             writes=(), strs=None, out=None, out_len=None) -> _TS:
+    """Apply register writes + pc/status/steps bookkeeping for one branch.
+
+    ok lanes commit and advance to next_pc; parkm lanes park in place;
+    steps bump for every lane that attempted the instruction (matching the
+    general engine's advance(), which counts error-parks)."""
+    regs = ts.regs
+    for c, val in writes:
+        regs = _wr(regs, c, val, ok)
+    regs = _wr(regs, C_PC, next_pc, ok)
+    regs = _wr(regs, C_STATUS, PARKED, parkm)
+    regs = _wr(regs, C_STEPS, _rd(ts, C_STEPS) + 1, ok | parkm)
+    if out_len is not None:
+        regs = _wr(regs, C_OUTLEN, out_len, ok)
+    return ts._replace(
+        regs=regs,
+        strs=ts.strs if strs is None else strs,
+        out=ts.out if out is None else jnp.where(ok, out, ts.out))
+
+
+def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
+    t, w, ow = tcfg.tile, tcfg.width, tcfg.out_width
+    next_pc = pc + 1
+
+    def active_of(ts):
+        return (_rd(ts, C_STATUS) == RUNNING) & (_rd(ts, C_PC) == pc)
+
+    if isinstance(instr, IHalt):
+        def br(ts):
+            act = active_of(ts)
+            return ts._replace(regs=_wr(ts.regs, C_STATUS, DONE, act))
+        return br
+
+    if isinstance(instr, INop):
+        def br(ts):
+            act = active_of(ts)
+            regs = _wr(ts.regs, C_PC, next_pc, act)
+            regs = _wr(regs, C_STEPS, _rd(ts, C_STEPS) + 1, act)
+            return ts._replace(regs=regs)
+        return br
+
+    if isinstance(instr, IPark):
+        def br(ts):
+            act = active_of(ts)
+            return ts._replace(regs=_wr(ts.regs, C_STATUS, PARKED, act))
+        return br
+
+    if isinstance(instr, IGoto):
+        tgt = instr.target
+
+        def br(ts):
+            act = active_of(ts)
+            regs = _wr(ts.regs, C_PC, tgt, act)
+            regs = _wr(regs, C_STEPS, _rd(ts, C_STEPS) + 1, act)
+            return ts._replace(regs=regs)
+        return br
+
+    if isinstance(instr, IClear):
+        def br(ts):
+            act = active_of(ts)
+            nope = act & (act != act)
+            return _advance(ts, cols, act, act, nope, next_pc,
+                            writes=(), out=ts.out * 0,
+                            out_len=_rd(ts, C_PC) * 0)
+        return br
+
+    if isinstance(instr, IDelete):
+        slots = instr.slots
+
+        def br(ts):
+            act = active_of(ts)
+            nope = act & (act != act)
+            writes = [(cols.stype(s), T_EMPTY) for s in slots]
+            return _advance(ts, cols, act, act, nope, next_pc,
+                            writes=writes)
+        return br
+
+    if isinstance(instr, ISet):
+        kind = instr.src[0]
+        out_slot = instr.out_slot
+
+        def br(ts):
+            act = active_of(ts)
+            zero_i = _rd(ts, C_PC) * 0
+            parkm = zero_i == 1
+            vbuf = None  # int values leave the byte plane untouched
+            if kind == "int":
+                vt, vi, vln = T_INT, zero_i + instr.src[1], 0
+            elif kind == "str":
+                vt, vi = T_STR, 0
+                vbuf, vln = lit(instr.src[1])
+            elif kind == "copy":
+                s = instr.src[1]
+                st = _rd(ts, cols.stype(s))
+                parkm = parkm | (st == T_EMPTY)  # set of a missing key raises
+                vt, vi = st, _rd(ts, cols.sint(s))
+                vbuf, vln = ts.strs[s], _rd(ts, cols.slen(s))
+            else:  # tmpl
+                vbuf, vln, missing, p = _render(ts, cols, instr.src[1],
+                                                t, w, lit)
+                parkm = parkm | missing | p
+                vt, vi = T_STR, 0
+            ok = act & ~parkm
+            parkm = act & ~ok
+            strs = None
+            if vbuf is not None:
+                strs = list(ts.strs)
+                strs[out_slot] = jnp.where(ok, vbuf, strs[out_slot])
+                strs = tuple(strs)
+            return _advance(ts, cols, act, ok, parkm, next_pc,
+                            writes=[(cols.stype(out_slot), vt),
+                                    (cols.sint(out_slot), vi),
+                                    (cols.slen(out_slot), vln)],
+                            strs=strs)
+        return br
+
+    if isinstance(instr, IMath):
+        ops = instr.ops
+        out_slot = instr.out_slot
+
+        def br(ts):
+            act = active_of(ts)
+            zero_i = _rd(ts, C_PC) * 0
+            parkm = zero_i == 1
+            stack = []
+            for opn in ops:
+                o = opn[0]
+                if o == "const":
+                    stack.append(zero_i + opn[1])
+                elif o == "slot":
+                    s = opn[1]
+                    st = _rd(ts, cols.stype(s))
+                    parsed, pok = _parse_dec(ts.strs[s],
+                                             _rd(ts, cols.slen(s)), t, w)
+                    val = jnp.where(st == T_INT, _rd(ts, cols.sint(s)),
+                                    parsed)
+                    parkm = parkm | (st == T_EMPTY) | \
+                        ((st == T_STR) & ~pok)
+                    stack.append(val)
+                elif o == "neg":
+                    stack.append(-stack.pop())
+                elif o == "sign":
+                    stack.append(jnp.sign(stack.pop()))
+                else:
+                    b_ = stack.pop()
+                    a_ = stack.pop()
+                    if o == "add":
+                        stack.append(a_ + b_)
+                    elif o == "sub":
+                        stack.append(a_ - b_)
+                    elif o == "mul":
+                        stack.append(a_ * b_)
+                    elif o == "min2":
+                        stack.append(jnp.minimum(a_, b_))
+                    elif o == "max2":
+                        stack.append(jnp.maximum(a_, b_))
+                    else:
+                        safe = jnp.where(b_ == 0, 1, b_)
+                        q = jnp.floor_divide(a_, safe)
+                        r = jnp.remainder(a_, safe)
+                        if o == "div":
+                            # non-exact division: host (float tolerance)
+                            parkm = parkm | (b_ == 0) | (r != 0)
+                            stack.append(q)
+                        else:  # mod (Python floor-mod; ÷0 → host error)
+                            parkm = parkm | (b_ == 0)
+                            stack.append(r)
+            val = stack.pop()
+            ok = act & ~parkm
+            parkm = act & ~ok
+            return _advance(ts, cols, act, ok, parkm, next_pc,
+                            writes=[(cols.stype(out_slot), T_INT),
+                                    (cols.sint(out_slot), val),
+                                    (cols.slen(out_slot), 0)])
+        return br
+
+    if isinstance(instr, IPrint):
+        tmpl = instr.tmpl
+        single_hole = len(tmpl) == 1 and isinstance(tmpl[0], Hole)
+
+        def br(ts):
+            act = active_of(ts)
+            vbuf, vln, missing, parkm = _render(ts, cols, tmpl, t, w, lit)
+            parkm = parkm | missing
+            if single_hole:
+                # print of a non-string simple key AttributeErrors in the
+                # reference — host reproduces the crash
+                parkm = parkm | (_rd(ts, cols.stype(tmpl[0].slot)) != T_STR)
+            out_len = _rd(ts, C_OUTLEN)
+            pos_o = _iota(t, ow)
+            padded = jnp.pad(vbuf, ((0, 0), (0, max(ow - w, 0))))[:, :ow]
+            shifted = jnp.take_along_axis(
+                padded, jnp.clip(pos_o - out_len, 0, ow - 1), axis=1)
+            new_out = jnp.where(
+                (pos_o >= out_len) & (pos_o < out_len + vln),
+                shifted, ts.out)
+            new_len = out_len + vln
+            parkm = parkm | (new_len > ow)
+            ok = act & ~parkm
+            parkm = act & ~ok
+            return _advance(ts, cols, act, ok, parkm, next_pc,
+                            out=new_out, out_len=new_len)
+        return br
+
+    if isinstance(instr, IGotoMap):
+        tmpl, entries, null_pc = instr.tmpl, instr.entries, instr.null_pc
+
+        def br(ts):
+            act = active_of(ts)
+            buf, ln, missing, parkm = _render(ts, cols, tmpl, t, w, lit)
+            zero_i = _rd(ts, C_PC) * 0
+            decided = zero_i == 1
+            tgt = zero_i
+            for pat, tpc in entries:
+                hit = _match(pat, buf, ln, t, w, lit) & ~decided
+                tgt = jnp.where(hit, tpc, tgt)
+                decided = decided | hit
+            if null_pc is not None:
+                tgt = jnp.where(missing, null_pc, tgt)
+                ok_route = jnp.where(missing, True, decided)
+            else:
+                ok_route = decided & ~missing
+            parkm = parkm | ~ok_route
+            ok = act & ~parkm
+            parkm = act & ~ok
+            regs = _wr(ts.regs, C_PC, tgt, ok)
+            regs = _wr(regs, C_STATUS, PARKED, parkm)
+            regs = _wr(regs, C_STEPS, _rd(ts, C_STEPS) + 1, ok | parkm)
+            return ts._replace(regs=regs)
+        return br
+
+    raise NotTurbo(f"no branch builder for {type(instr).__name__}")
+
+
+# ---------------------------------------------------------------------------
+# kernel assembly
+# ---------------------------------------------------------------------------
+
+def build_step_fn(plan: TurboPlan, tcfg: TurboConfig, n: int,
+                  interpret: bool):
+    """Jitted (batch,) -> batch running k_steps VM steps via one
+    pallas_call over instance tiles."""
+    from jax.experimental import pallas as pl
+
+    S = max(plan.n_slots, 1)
+    P = plan.n_instr
+    cols = _Cols(S)
+    t, w, ow, K = tcfg.tile, tcfg.width, tcfg.out_width, tcfg.k_steps
+    assert n % t == 0
+
+    lit_table = _LitTable(w)
+    lit_table.collect(plan.instrs)
+    lits_np = lit_table.array()
+    L = lits_np.shape[0]
+
+    def kernel(lits_ref, regs_ref, sbuf_ref, out_ref,
+               o_regs, o_sbuf, o_out):
+        lit = _mk_lit(lits_ref, lit_table, t)
+        branches = [_build_branch(instr, pc, cols, tcfg, lit)
+                    for pc, instr in enumerate(plan.instrs)]
+        ts = _TS(regs=regs_ref[:],
+                 strs=tuple(sbuf_ref[s] for s in range(S)),
+                 out=out_ref[:])
+
+        def cond(carry):
+            it, ts = carry
+            return (it < K) & jnp.any(_rd(ts, C_STATUS) == RUNNING)
+
+        def body(carry):
+            it, ts = carry
+            running = _rd(ts, C_STATUS) == RUNNING
+            pc_star = jnp.min(jnp.where(running, _rd(ts, C_PC), P))
+            ts = jax.lax.switch(jnp.clip(pc_star, 0, P - 1), branches, ts)
+            return it + 1, ts
+
+        it0 = jnp.min(regs_ref[0, 0]) * 0
+        _, ts = jax.lax.while_loop(cond, body, (it0, ts))
+        o_regs[:] = ts.regs
+        for s in range(S):
+            o_sbuf[s] = ts.strs[s]
+        o_out[:] = ts.out
+
+    grid = (n // t,)
+    state_specs = [
+        pl.BlockSpec((t, REGW), lambda g: (g, 0)),
+        pl.BlockSpec((S, t, w), lambda g: (0, g, 0)),
+        pl.BlockSpec((t, ow), lambda g: (g, 0)),
+    ]
+    shapes = (
+        jax.ShapeDtypeStruct((n, REGW), jnp.int32),
+        jax.ShapeDtypeStruct((S, n, w), jnp.int32),
+        jax.ShapeDtypeStruct((n, ow), jnp.int32),
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((L, w), lambda g: (0, 0))] + state_specs,
+        out_specs=tuple(state_specs),
+        out_shape=shapes,
+        input_output_aliases={1: 0, 2: 1, 3: 2},
+        interpret=interpret,
+    )
+
+    lits = jnp.asarray(lits_np)
+
+    def step_batch(batch: TurboBatch) -> TurboBatch:
+        return TurboBatch(*call(lits, *batch))
+
+    return jax.jit(step_batch, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# host codecs + engine
+# ---------------------------------------------------------------------------
+
+class TurboEncodeError(ValueError):
+    """State no longer fits the static slot model (long string, new key,
+    list value) — the instance finishes on the exact host engine."""
+
+
+class TurboEngine:
+    """Run one turbo-planned program over a batch of instances.
+
+    The ring is batched: one gather of all parked rows per round, host
+    service in numpy, one scatter back (SURVEY.md §7.3(7)).
+
+    Known decode-order divergence: decoded insert dicts list keys in static
+    slot order, not dynamic first-write order; save-file key order and
+    show_inserts row order can differ from the host engine (values are
+    identical). Programs where that ordering is observable should use the
+    general engine.
+    """
+
+    def __init__(self, compiled, tcfg: TurboConfig = None, io_factory=None,
+                 plan: TurboPlan = None, interpret: bool = None):
+        from ..core.context import CTX
+        from ..io.manager import BufferBackend, IOManager
+        from .config import PARK_AWAIT_INSERT
+        from ..compiler.turbo import plan_turbo
+        if CTX.inserts_dir:
+            raise NotTurbo("--inserts-dir fallback needs the general engine")
+        self.plan = plan or plan_turbo(compiled)
+        self.compiled = compiled
+        self.tcfg = tcfg or TurboConfig()
+        self.cols = _Cols(max(self.plan.n_slots, 1))
+        self.io_factory = io_factory or (lambda i: IOManager(BufferBackend()))
+        if interpret is None:
+            interpret = jax.devices()[0].platform not in ("tpu",)
+        self.interpret = interpret
+        self._step_fns: dict = {}
+        self._host_results: dict = {}
+        self._park_await = PARK_AWAIT_INSERT
+        self._slot_keys = list(self.plan.slot_names)
+
+    # ---- batch lifecycle ---------------------------------------------------
+
+    def _padded(self, n: int) -> int:
+        t = self.tcfg.tile
+        return max(t, ((n + t - 1) // t) * t)
+
+    def make_batch(self, n: int, args: list = ()) -> TurboBatch:
+        """N fresh instances (prototype encode + broadcast)."""
+        from ..core.context import ESCAPE, INSERT_START, INSERT_STOP
+        inserts = dict(self.compiled.program["default_state"]["inserts"])
+        for i, arg in enumerate(args, start=1):
+            inserts[f"ARG{i}"] = (
+                str(arg).replace(INSERT_START, ESCAPE + INSERT_START)
+                        .replace(INSERT_STOP, ESCAPE + INSERT_STOP))
+        row = self._encode_row(inserts, output="", pc=0, steps=0)
+        n_pad = self._padded(n)
+        regs = np.ascontiguousarray(
+            np.broadcast_to(row["regs"][None], (n_pad, REGW)))
+        sbuf = np.ascontiguousarray(np.broadcast_to(
+            row["sbuf"][:, None, :],
+            (row["sbuf"].shape[0], n_pad, self.tcfg.width)))
+        out = np.ascontiguousarray(
+            np.broadcast_to(row["out"][None], (n_pad, self.tcfg.out_width)))
+        if n_pad > n:
+            regs[n:, C_STATUS] = DONE
+        self._n_live = n
+        return TurboBatch(regs=jnp.asarray(regs), sbuf=jnp.asarray(sbuf),
+                          out=jnp.asarray(out))
+
+    def _encode_row(self, inserts: dict, output: str, pc: int,
+                    steps: int) -> dict:
+        """Encode one instance's state into per-field numpy rows."""
+        S = max(self.plan.n_slots, 1)
+        w, ow = self.tcfg.width, self.tcfg.out_width
+        cols = self.cols
+        regs = np.zeros((REGW,), np.int32)
+        regs[C_PC] = pc
+        regs[C_STATUS] = RUNNING
+        regs[C_STEPS] = steps
+        sbuf = np.zeros((S, w), np.int32)
+        out = np.zeros((ow,), np.int32)
+        slot_of = self.plan.slot_of
+        for key, value in inserts.items():
+            s = slot_of.get(str(key))
+            if s is None:
+                raise TurboEncodeError(f"key {key!r} has no slot")
+            if isinstance(value, bool) or not isinstance(value, (int, str)):
+                raise TurboEncodeError(f"value of {key!r} is not int/str")
+            if isinstance(value, int):
+                if not (-2**31 <= value < 2**31):
+                    raise TurboEncodeError(f"int {key!r} exceeds int32")
+                regs[cols.stype(s)] = T_INT
+                regs[cols.sint(s)] = value
+            else:
+                data = value.encode("utf-8")
+                if len(data) > w:
+                    raise TurboEncodeError(f"string {key!r} exceeds {w}B")
+                regs[cols.stype(s)] = T_STR
+                regs[cols.slen(s)] = len(data)
+                sbuf[s, :len(data)] = list(data)
+        out_data = output.encode("utf-8")
+        if len(out_data) > ow:
+            raise TurboEncodeError("output exceeds the device buffer")
+        out[:len(out_data)] = list(out_data)
+        regs[C_OUTLEN] = len(out_data)
+        return {"regs": regs, "sbuf": sbuf, "out": out}
+
+    def _decode_row(self, sub: dict, j: int) -> dict:
+        cols = self.cols
+        regs = sub["regs"][j]
+        inserts = {}
+        for s, key in enumerate(self._slot_keys):
+            vt = int(regs[cols.stype(s)])
+            if vt == T_INT:
+                inserts[key] = int(regs[cols.sint(s)])
+            elif vt == T_STR:
+                ln = int(regs[cols.slen(s)])
+                inserts[key] = bytes(
+                    sub["sbuf"][s, j, :ln].astype(np.uint8)
+                ).decode("utf-8", "replace")
+        ln = int(regs[C_OUTLEN])
+        output = bytes(sub["out"][j, :ln].astype(np.uint8)).decode(
+            "utf-8", "replace")
+        return {"inserts": inserts, "output": output}
+
+    # ---- stepping -----------------------------------------------------------
+
+    def step_fn(self, n: int):
+        if n not in self._step_fns:
+            self._step_fns[n] = build_step_fn(
+                self.plan, self.tcfg, n, self.interpret)
+        return self._step_fns[n]
+
+    # ---- host ring -----------------------------------------------------------
+
+    async def _service(self, sub: dict, j: int, i: int, rts: dict) -> bool:
+        """Service parked row j (global instance i) in-place in `sub`.
+        Returns True when the row changed (resumed or finished on host)."""
+        from ..core.executor import Runtime, execute_task
+        from ..core.interp import (InterpolationException,
+                                   get_simple_insertkey, interpolate_inserts)
+        from ..core.events import EVENTS, VM_PARK
+
+        pc = int(sub["regs"][j, C_PC])
+        task = self.compiled.source_tasks[pc]
+        state = self._decode_row(sub, j)
+        kind = self.plan.park_kind_of.get(pc, 0)
+
+        if kind == self._park_await and task is not None:
+            name = task.get("name")
+            try:
+                resolved = name
+                key = get_simple_insertkey(name)
+                if key or "{" in str(name):
+                    resolved = interpolate_inserts(state["inserts"], name)
+            except InterpolationException:
+                resolved = None
+            if resolved is None or resolved not in state["inserts"]:
+                return False  # still parked
+            self._write_row(sub, j, state, pc + 1,
+                            int(sub["regs"][j, C_STEPS]) + 1)
+            return True
+
+        rt = rts.setdefault(i, Runtime(
+            self.io_factory(i),
+            self.compiled.program.get("completion_args", {}),
+            self.compiled.program.get("named_tasks", {})))
+        if task is None:
+            raise RuntimeError(f"instance {i}: parked at pc={pc} with no "
+                               f"source task")
+        backend = getattr(rt.io, "backend", None)
+        if backend is not None and hasattr(backend, "output_text"):
+            backend.output_text = state["output"]
+        EVENTS.emit(VM_PARK, label=task.get("traceback_label", "?"),
+                    instance=i, pc=pc, park_kind=kind, engine="turbo")
+        result = await execute_task(rt, state, task,
+                                    task.get("traceback_label", "?"))
+        if result is None:
+            next_pc = pc + 1
+        elif isinstance(result, dict) and "goto_target" in result:
+            target = result["goto_target"]
+            if target == "CONTINUE":
+                next_pc = pc + 1
+            else:
+                scope = self.compiled.scope_of[pc]
+                key = (scope, target)
+                if key not in self.compiled.label_names:
+                    raise ValueError(
+                        f"goto target '{target}' not found in scope")
+                next_pc = self.compiled.label_names[key]
+        else:
+            raise RuntimeError(f"unexpected task result: {result}")
+        try:
+            self._write_row(sub, j, state, next_pc,
+                            int(sub["regs"][j, C_STEPS]) + 1)
+        except TurboEncodeError:
+            # state outgrew the slot model: finish this instance with the
+            # exact host executor and retire the lane
+            final = await self._finish_on_host(rt, state, next_pc)
+            self._host_results[i] = final
+            sub["regs"][j, C_STATUS] = DONE
+            sub["regs"][j, C_PC] = self.plan.n_instr - 1
+        return True
+
+    async def _finish_on_host(self, rt, state: dict, pc: int) -> dict:
+        """Execute the remaining flat instructions on the host (the table is
+        flat — serial bodies inline, for/parallel are whole-task rows)."""
+        from ..core.executor import execute_task
+        from ..vm import isa as _isa
+        steps_left = 100_000
+        code = self.compiled.code
+        while pc < self.compiled.n_instr and steps_left > 0:
+            steps_left -= 1
+            op = int(code[pc][0])
+            if op == _isa.OP_HALT:
+                break
+            task = self.compiled.source_tasks[pc]
+            if task is None:
+                pc += 1
+                continue
+            result = await execute_task(rt, state, task,
+                                        task.get("traceback_label", "?"))
+            if result is None:
+                pc += 1
+            elif isinstance(result, dict) and "goto_target" in result:
+                target = result["goto_target"]
+                if target == "CONTINUE":
+                    pc += 1
+                else:
+                    scope = self.compiled.scope_of[pc]
+                    next_pc = self.compiled.label_names.get((scope, target))
+                    if next_pc is None:
+                        raise ValueError(
+                            f"goto target '{target}' not found in scope")
+                    pc = next_pc
+            else:
+                raise RuntimeError(f"unexpected task result: {result}")
+        return state
+
+    def _write_row(self, sub: dict, j: int, state: dict, pc: int,
+                   steps: int):
+        row = self._encode_row(state["inserts"], state["output"], pc, steps)
+        sub["regs"][j] = row["regs"]
+        sub["sbuf"][:, j, :] = row["sbuf"]
+        sub["out"][j] = row["out"]
+
+    # ---- main loop ------------------------------------------------------------
+
+    async def run_async(self, batch: TurboBatch, *, max_rounds: int = 10_000
+                        ) -> TurboBatch:
+        import asyncio
+        from ..core.events import EVENTS, VM_ROUND
+        n = batch.regs.shape[0]
+        step = self.step_fn(n)
+        rts: dict = {}
+        stalled = 0
+        for round_no in range(max_rounds):
+            batch = step(batch)
+            status = np.asarray(batch.regs[:, C_STATUS])
+            parked = np.nonzero(status == PARKED)[0]
+            if len(parked) == 0:
+                if not (status == RUNNING).any():
+                    break
+                continue
+            EVENTS.emit(VM_ROUND, round=round_no, engine="turbo",
+                        running=int((status == RUNNING).sum()),
+                        parked=len(parked))
+            # batched gather of every parked row (one device round-trip)
+            idx = jnp.asarray(parked)
+            sub = {
+                "regs": np.asarray(batch.regs[idx]).copy(),
+                "sbuf": np.asarray(batch.sbuf[:, idx]).copy(),
+                "out": np.asarray(batch.out[idx]).copy(),
+            }
+            changed = await asyncio.gather(*[
+                self._service(sub, j, int(i), rts)
+                for j, i in enumerate(parked)])
+            resumed = sum(bool(c) for c in changed)
+            if resumed:
+                for j in range(len(parked)):
+                    if changed[j] and sub["regs"][j, C_STATUS] == PARKED:
+                        sub["regs"][j, C_STATUS] = RUNNING
+                batch = TurboBatch(
+                    regs=batch.regs.at[idx].set(sub["regs"]),
+                    sbuf=batch.sbuf.at[:, idx].set(sub["sbuf"]),
+                    out=batch.out.at[idx].set(sub["out"]),
+                )
+            status = np.asarray(batch.regs[:, C_STATUS])
+            if not ((status == RUNNING) | (status == PARKED)).any():
+                break
+            if not (status == RUNNING).any() and resumed == 0:
+                stalled += 1
+                if stalled > 50:
+                    break
+                await asyncio.sleep(0.05)
+            else:
+                stalled = 0
+        return batch
+
+    def run(self, batch: TurboBatch, **kw) -> TurboBatch:
+        import asyncio
+        return asyncio.run(self.run_async(batch, **kw))
+
+    # ---- results ----------------------------------------------------------------
+
+    def results(self, batch: TurboBatch, n: int = None) -> list:
+        from .driver import InstanceResult
+        host = {
+            "regs": np.asarray(batch.regs),
+            "sbuf": np.asarray(batch.sbuf),
+            "out": np.asarray(batch.out),
+        }
+        n = n if n is not None else getattr(
+            self, "_n_live", host["regs"].shape[0])
+        out = []
+        for i in range(n):
+            if i in self._host_results:
+                state = self._host_results[i]
+            else:
+                state = self._decode_row(host, i)
+            out.append(InstanceResult(
+                output=state["output"], inserts=state["inserts"],
+                status=int(host["regs"][i, C_STATUS]),
+                steps=int(host["regs"][i, C_STEPS])))
+        return out

@@ -1,0 +1,408 @@
+"""Turbo engine differential tests: the Pallas mega-kernel VM (interpret
+mode on CPU) must agree byte-for-byte with the exact host interpreter —
+output, final inserts, and error behavior."""
+
+import asyncio
+import random
+
+import pytest
+
+from interpolation_engine_tpu import json5
+from interpolation_engine_tpu.compiler import compile_program
+from interpolation_engine_tpu.compiler.turbo import NotTurbo, plan_turbo
+from interpolation_engine_tpu.core.runtime import async_main
+from interpolation_engine_tpu.io.manager import IOManager, ScriptedBackend
+from interpolation_engine_tpu.programs.loader import add_line_numbers
+from interpolation_engine_tpu.programs.validator import (
+    ProgramValidationError,
+    validate_program,
+)
+from interpolation_engine_tpu.vm.config import DONE
+from interpolation_engine_tpu.vm.turbo import TurboConfig, TurboEngine
+
+TCFG = TurboConfig(tile=8, width=64, out_width=192, k_steps=24)
+
+
+def compile_src(program_src: str):
+    program = json5.loads(add_line_numbers(program_src))
+    validate_program(program)
+    return compile_program(program)
+
+
+def run_turbo(program_src: str, n: int = 3, responses=(), args=()):
+    compiled = compile_src(program_src)
+    engine = TurboEngine(
+        compiled, TCFG,
+        io_factory=lambda i: IOManager(ScriptedBackend(list(responses))))
+    batch = engine.make_batch(n, args)
+    final = engine.run(batch, max_rounds=500)
+    return engine.results(final)
+
+
+def run_host(program_src: str, tmp_path, responses=(), args=()):
+    path = tmp_path / "prog.json5"
+    path.write_text(program_src)
+    io = IOManager(ScriptedBackend(list(responses)))
+    state = asyncio.run(async_main(str(path), list(args), io))
+    return state
+
+
+BENCH_LIKE = """
+{
+    default_state: {order_index: 1, inserts: {i: 0, acc: 0, word: 'spin'}},
+    order: [
+        {cmd:'label', name:'@loop'},
+        {cmd:'math', input:'{i} + 1', output_name:'i'},
+        {cmd:'set', item:'state-{i}', output_name:'tag'},
+        {cmd:'math', input:'{acc} + {i} % 7', output_name:'acc'},
+        {cmd:'goto_map', text:'{word}-{i}', target_maps:[
+            {'spin-12': '@end'},
+            {'spin-*': '@loop'},
+            {'*': '@loop'},
+        ]},
+        {cmd:'label', name:'@end'},
+        {cmd:'print', text:'done acc={acc} tag={tag}'},
+    ],
+    named_tasks: {}, save_states: {},
+}
+"""
+
+
+def test_bench_program_matches_host(tmp_path, capsys):
+    host = run_host(BENCH_LIKE, tmp_path)
+    capsys.readouterr()
+    results = run_turbo(BENCH_LIKE, n=3)
+    for r in results:
+        assert r.status == DONE
+        assert r.output == host["output"]
+        assert r.inserts == dict(host["inserts"])
+
+
+def test_divergent_batch_min_pc_scheduling(tmp_path, capsys):
+    """Instances route differently out of goto_map (ARG1 differs) — the
+    min-pc scheduler must still drive every lane to its exact result."""
+    src = """
+    {
+        default_state: {order_index: 1, inserts: {n: 0}},
+        order: [
+            {cmd:'goto_map', text:'{ARG1}', target_maps:[
+                {'left': '@l'}, {'*': '@r'},
+            ]},
+            {cmd:'label', name:'@l'},
+            {cmd:'math', input:'1 + 1', output_name:'n'},
+            {cmd:'print', text:'L{n}'},
+            {cmd:'goto', name:'@end'},
+            {cmd:'label', name:'@r'},
+            {cmd:'math', input:'7 * 3', output_name:'n'},
+            {cmd:'print', text:'R{n}'},
+            {cmd:'label', name:'@end'},
+            {cmd:'print', text:'.'},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """
+    compiled = compile_src(src)
+    engine = TurboEngine(compiled, TCFG)
+    import jax.numpy as jnp
+    import numpy as np
+    # build two sub-batches with different ARG1 and interleave them
+    left = engine.make_batch(4, ["left"])
+    right = engine.make_batch(4, ["other"])
+    def seg(x, lo, hi):
+        return x[lo:hi] if x.ndim < 3 else x[:, lo:hi]
+
+    # make_batch(4) pads to tile=8 (rows 4.. are DONE); interleave only the
+    # live rows so all 8 mixed rows are active
+    mixed = type(left)(*[
+        jnp.concatenate([seg(a, 0, 2), seg(b, 0, 2),
+                         seg(a, 2, 4), seg(b, 2, 4)],
+                        axis=0 if a.ndim < 3 else 1)
+        for a, b in zip(left, right)])
+    engine._n_live = 8
+    final = engine.run(mixed, max_rounds=200)
+    results = engine.results(final)
+    host_l = run_host(src, tmp_path, args=["left"])
+    host_r = run_host(src, tmp_path, args=["other"])
+    capsys.readouterr()
+    want = [host_l, host_l, host_r, host_r, host_l, host_l, host_r, host_r]
+    for r, h in zip(results, want):
+        assert r.status == DONE
+        assert r.output == h["output"]
+        assert r.inserts == dict(h["inserts"])
+
+
+def test_user_input_parks_and_resumes(tmp_path, capsys):
+    src = """
+    {
+        default_state: {order_index: 1, inserts: {}},
+        order: [
+            {cmd:'print', text:'hi '},
+            {cmd:'user_input', prompt:'name?', output_name:'name'},
+            {cmd:'print', text:'hello {name}!'},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """
+    host = run_host(src, tmp_path, responses=["ada"])
+    capsys.readouterr()
+    results = run_turbo(src, n=2, responses=["ada"])
+    for r in results:
+        assert r.status == DONE
+        assert r.output == host["output"]
+        assert r.inserts == dict(host["inserts"])
+
+
+def test_long_user_input_finishes_on_host(tmp_path, capsys):
+    """A resumed value that exceeds the slot byte width must retire the
+    lane to exact host execution, not truncate."""
+    long = "x" * 500  # > TCFG.width
+    src = """
+    {
+        default_state: {order_index: 1, inserts: {}},
+        order: [
+            {cmd:'user_input', prompt:'p', output_name:'v'},
+            {cmd:'set', item:'got', output_name:'tail'},
+            {cmd:'print', text:'len done {tail}'},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """
+    host = run_host(src, tmp_path, responses=[long])
+    capsys.readouterr()
+    results = run_turbo(src, n=2, responses=[long])
+    for r in results:
+        assert r.output == host["output"]
+        assert r.inserts == dict(host["inserts"])
+
+
+def test_simple_key_copy_preserves_types(tmp_path, capsys):
+    src = """
+    {
+        default_state: {order_index: 1, inserts: {n: -42, s: 'str val'}},
+        order: [
+            {cmd:'set', item:'{n}', output_name:'n2'},
+            {cmd:'set', item:'{s}', output_name:'s2'},
+            {cmd:'math', input:'{n2} * 2', output_name:'d'},
+            {cmd:'print', text:'d={d} s2={s2} n2={n2}'},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """
+    host = run_host(src, tmp_path)
+    capsys.readouterr()
+    r = run_turbo(src, n=1)[0]
+    assert r.status == DONE
+    assert r.output == host["output"]
+    assert r.inserts == dict(host["inserts"])
+
+
+def test_delete_and_clear(tmp_path, capsys):
+    src = """
+    {
+        default_state: {order_index: 1, inserts: {aa: 1, ab: 2, zz: 'k'}},
+        order: [
+            {cmd:'print', text:'before'},
+            {cmd:'clear'},
+            {cmd:'delete', wildcards:['a*']},
+            {cmd:'print', text:'kept {zz}'},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """
+    host = run_host(src, tmp_path)
+    capsys.readouterr()
+    r = run_turbo(src, n=1)[0]
+    assert r.status == DONE
+    assert r.output == host["output"]
+    assert r.inserts == dict(host["inserts"])
+
+
+def test_math_on_digit_string_and_div(tmp_path, capsys):
+    src = """
+    {
+        default_state: {order_index: 1, inserts: {d: '84', n: 7}},
+        order: [
+            {cmd:'math', input:'{d} / 2 + {n} - -3', output_name:'r'},
+            {cmd:'math', input:'max(1, {r}, 9) + min({n}, 2)', output_name:'m'},
+            {cmd:'math', input:'sign(3 - {n})', output_name:'sg'},
+            {cmd:'print', text:'{r}/{m}/{sg}'},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """
+    host = run_host(src, tmp_path)
+    capsys.readouterr()
+    r = run_turbo(src, n=1)[0]
+    assert r.status == DONE
+    assert r.output == host["output"]
+    assert r.inserts == dict(host["inserts"])
+
+
+def test_missing_key_error_matches_host(tmp_path, capsys):
+    src = """
+    {
+        default_state: {order_index: 1, inserts: {ghost: 1}},
+        order: [
+            {cmd:'delete', wildcards:['ghost']},
+            {cmd:'print', text:'v={ghost}'},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """
+    from interpolation_engine_tpu.core.interp import InterpolationException
+    with pytest.raises(InterpolationException):
+        run_host(src, tmp_path)
+    capsys.readouterr()
+    with pytest.raises(InterpolationException):
+        run_turbo(src, n=1)
+
+
+def test_goto_map_null_route(tmp_path, capsys):
+    src = """
+    {
+        default_state: {order_index: 1, inserts: {k: 'x'}},
+        order: [
+            {cmd:'delete', wildcards:['k']},
+            {cmd:'goto_map', text:'{k}', target_maps:[
+                {'x': '@a'}, {'NULL': '@b'},
+            ]},
+            {cmd:'label', name:'@a'},
+            {cmd:'print', text:'A'},
+            {cmd:'goto', name:'@end'},
+            {cmd:'label', name:'@b'},
+            {cmd:'print', text:'B'},
+            {cmd:'label', name:'@end'},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """
+    host = run_host(src, tmp_path)
+    capsys.readouterr()
+    r = run_turbo(src, n=1)[0]
+    assert r.status == DONE
+    assert r.output == host["output"]
+
+
+def test_not_turbo_shapes():
+    """Programs outside the slot model must be rejected, not mis-run."""
+    for src, why in [
+        ("""{default_state: {order_index: 1, inserts: {l: ['a','b']}},
+             order: [{cmd:'print', text:'x'}],
+             named_tasks: {}, save_states: {}}""", "list insert"),
+        ("""{default_state: {order_index: 1, inserts: {k: 'n'}},
+             order: [{cmd:'set', item:'v', output_name:'{k}'}],
+             named_tasks: {}, save_states: {}}""", "dynamic output_name"),
+        ("""{default_state: {order_index: 1, inserts: {}},
+             order: [{cmd:'for', name_list_map: {v: ['a']},
+                      tasks: [{cmd:'print', text:'{v}'}]}],
+             named_tasks: {}, save_states: {}}""", "for loop"),
+    ]:
+        compiled = compile_src(src)
+        with pytest.raises(NotTurbo):
+            plan_turbo(compiled)
+
+
+# ---------------------------------------------------------------------------
+# randomized differential sweep over the turbo-eligible opcode mix
+# ---------------------------------------------------------------------------
+
+def gen_turbo_program(rng: random.Random):
+    keys = ["k1", "k2", "k3"]
+    inserts = {"k1": rng.choice(["hello", 7, "a b"]),
+               "k2": rng.randint(-9, 99), "w": "go"}
+    tasks = []
+    n_labels = 0
+    for _ in range(rng.randint(2, 8)):
+        kind = rng.choice(["print", "set", "math", "delete", "label_goto",
+                           "goto_map"])
+        if kind == "print":
+            parts = []
+            for _ in range(rng.randint(0, 3)):
+                parts.append(rng.choice(
+                    ["t ", "x=", "{k1}", "{k2}", "{w}"]))
+            tasks.append({"cmd": "print", "text": "".join(parts)})
+        elif kind == "set":
+            # int items are rejected at load (preserved reference quirk);
+            # digit strings exercise the same math paths
+            value = rng.choice(
+                ["plain", str(rng.randint(-5, 50)), "{k2}", "v-{k2}-{w}"])
+            tasks.append({"cmd": "set", "item": value,
+                          "output_name": rng.choice(keys)})
+        elif kind == "math":
+            expr = rng.choice([
+                "1 + 2 * 3", "{k2} * 4 - 1", "max(1,{k2},3) - min(2,9)",
+                "(7 % 3) + {k2}", "sign({k2})", "{k2} % 5", "-{k2} + 100",
+            ])
+            tasks.append({"cmd": "math", "input": expr,
+                          "output_name": rng.choice(keys)})
+        elif kind == "delete":
+            # only keys the validator can prove possibly-defined
+            tasks.append({"cmd": "delete",
+                          "wildcards": [rng.choice(["k1", "k2", "k*"])]})
+        elif kind == "label_goto":
+            name = f"@L{n_labels}"
+            n_labels += 1
+            tasks.append({"cmd": "goto", "name": name})
+            tasks.append({"cmd": "print", "text": "SKIPPED"})
+            tasks.append({"cmd": "label", "name": name})
+        elif kind == "goto_map":
+            name = f"@M{n_labels}"
+            n_labels += 1
+            tasks.append({"cmd": "goto_map", "text": rng.choice(
+                ["{w}", "{w}-{k2}", "fixed"]),
+                "target_maps": [
+                    {"go": name}, {"go-*": name}, {"*x": name},
+                    {"NULL": name}, {"*": name}]})
+            tasks.append({"cmd": "print", "text": "FELL"})
+            tasks.append({"cmd": "label", "name": name})
+    return {
+        "default_state": {"order_index": 1, "inserts": inserts},
+        "order": tasks,
+        "named_tasks": {},
+        "save_states": {},
+    }
+
+
+def test_random_turbo_programs_agree(tmp_path, capsys):
+    rng = random.Random(20260817)
+    n_compared = 0
+    for idx in range(40):
+        program = gen_turbo_program(rng)
+        src = json5.dumps(program, indent=2)
+        try:
+            compiled = compile_src(src)
+        except (ProgramValidationError, Exception) as e:
+            if isinstance(e, ProgramValidationError):
+                continue
+            raise
+        try:
+            plan_turbo(compiled)
+        except NotTurbo:
+            continue
+        path = tmp_path / f"p{idx}.json5"
+        path.write_text(src)
+        io = IOManager(ScriptedBackend())
+        try:
+            state = asyncio.run(async_main(str(path), [], io))
+            host = ("ok", state["output"], dict(state["inserts"]))
+        except Exception as e:
+            host = ("error", type(e).__name__)
+        capsys.readouterr()
+        try:
+            results = run_turbo(src, n=2)
+            dev = ("ok", results)
+        except Exception as e:
+            dev = ("error", type(e).__name__)
+        if host[0] == "error":
+            assert dev[0] == "error", (src, host, dev)
+            assert dev[1] == host[1], (src, host, dev)
+            continue
+        assert dev[0] == "ok", (src, dev, host)
+        for r in dev[1]:
+            assert r.status == DONE, (src, r)
+            assert r.output == host[1], f"output mismatch\n{src}\n{r}\n{host}"
+            assert r.inserts == host[2], (
+                f"inserts mismatch\n{src}\n{r}\n{host}")
+        n_compared += 1
+    capsys.readouterr()
+    assert n_compared >= 20, n_compared
