@@ -129,8 +129,8 @@ def _measure_turbo(compiled, n_instances, rounds, on_accel):
     import jax
     from interpolation_engine_tpu.vm.turbo import TurboConfig, TurboEngine
 
-    inner_steps = int(os.environ.get("BENCH_INNER_STEPS", 32))
-    tcfg = TurboConfig(tile=int(os.environ.get("BENCH_TILE", 256)),
+    inner_steps = int(os.environ.get("BENCH_INNER_STEPS", 64))
+    tcfg = TurboConfig(tile=int(os.environ.get("BENCH_TILE", 512)),
                        width=128, out_width=128, k_steps=inner_steps)
     eng = TurboEngine(compiled, tcfg)
     batch = eng.make_batch(n_instances)

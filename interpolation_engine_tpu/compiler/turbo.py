@@ -157,6 +157,7 @@ class TurboPlan:
     compiled: CompiledProgram
     n_parks: int = 0
     park_kind_of: dict = field(default_factory=dict)  # pc -> ring kind
+    slot_kinds: list = field(default_factory=list)    # per-slot value kind
 
     @property
     def n_instr(self) -> int:
@@ -165,6 +166,92 @@ class TurboPlan:
     @property
     def n_slots(self) -> int:
         return len(self.slot_names)
+
+
+# slot value kinds (a tiny lattice: NONE < INT/STR < MIX). Branch builders
+# use them to skip dead paths at trace time: an INT slot never renders its
+# byte plane, a STR slot never runs int→decimal, a NONE slot (referenced but
+# never produced) is statically missing.
+K_NONE, K_INT, K_STR, K_MIX = "none", "int", "str", "mix"
+
+
+def _kind_join(a: str, b: str) -> str:
+    if a == b or b == K_NONE:
+        return a
+    if a == K_NONE:
+        return b
+    return K_MIX
+
+
+# conservative value kind a host-serviced command stores under output_name
+_PARK_WRITE_KINDS = {
+    "user_input": K_STR,      # stored escaped, always a string
+    "user_choice": K_STR,
+    "chat": K_STR,            # n_outputs==1 enforced by eligibility
+    "math": K_INT,
+    "list_join": K_STR,
+    "random_choice": K_MIX,
+    "replace_map": K_MIX,     # int items pass through untouched
+    "unescape": K_MIX,
+    "set": K_MIX,
+}
+
+
+def _infer_slot_kinds(plan: "TurboPlan") -> list:
+    S = plan.n_slots
+    kinds = [K_NONE] * S
+    copy_edges: list[tuple[int, int]] = []   # (src, dst)
+
+    def join(s: int, k: str):
+        kinds[s] = _kind_join(kinds[s], k)
+
+    inserts = plan.compiled.program.get("default_state", {}).get(
+        "inserts", {})
+    for key, value in inserts.items():
+        s = plan.slot_of.get(str(key))
+        if s is not None:
+            join(s, K_INT if isinstance(value, int) else K_STR)
+    for name, s in plan.slot_of.items():
+        if name.startswith("ARG") and name[3:].isdigit():
+            join(s, K_STR)   # CLI args are stored escaped
+
+    for pc, ins in enumerate(plan.instrs):
+        if isinstance(ins, IMath):
+            join(ins.out_slot, K_INT)
+        elif isinstance(ins, ISet):
+            if ins.src[0] == "int":
+                join(ins.out_slot, K_INT)
+            elif ins.src[0] == "copy":
+                copy_edges.append((ins.src[1], ins.out_slot))
+            else:
+                join(ins.out_slot, K_STR)
+        elif isinstance(ins, IPark):
+            task = plan.compiled.source_tasks[pc]
+            if task is None:
+                continue
+            for t in _walk_tasks(task):
+                oname = t.get("output_name")
+                if isinstance(oname, str):
+                    name = _literal_name(oname)
+                    s = plan.slot_of.get(name) if name else None
+                    if s is not None:
+                        join(s, _PARK_WRITE_KINDS.get(t.get("cmd"), K_MIX))
+                for fname in (t.get("name_list_map") or {}):
+                    fs = plan.slot_of.get(str(fname))
+                    if fs is not None:
+                        join(fs, K_MIX)
+
+    # propagate copies to fixpoint (≤ S rounds; the edge list is tiny)
+    for _ in range(S + 1):
+        changed = False
+        for src, dst in copy_edges:
+            merged = _kind_join(kinds[dst], kinds[src])
+            if merged != kinds[dst]:
+                kinds[dst] = merged
+                changed = True
+        if not changed:
+            break
+    return kinds
 
 
 # ---------------------------------------------------------------------------
@@ -365,6 +452,7 @@ def plan_turbo(compiled: CompiledProgram) -> TurboPlan:
         plan.instrs.append(_plan_instr(
             plan, compiled, pc, op, a, b, task, slot_for, park))
 
+    plan.slot_kinds = _infer_slot_kinds(plan)
     return plan
 
 

@@ -79,12 +79,23 @@ class TurboConfig:
 
 
 class _Cols:
-    """Register-column layout for S slots (4 control + 3S slot scalars)."""
+    """Register-column layout for S slots (4 control + 3S slot scalars),
+    plus the plan's slot-kind table: byte planes exist only for slots that
+    can ever hold a string (kind 'str'/'mix'); 'int' and 'none' slots are
+    register-only, and branch builders skip their dead paths entirely."""
 
-    def __init__(self, S: int):
+    def __init__(self, S: int, kinds=None):
         if C_BASE + 3 * S > REGW:
             raise NotTurbo(f"{S} slots exceed the register block")
         self.S = S
+        self.kinds = list(kinds) if kinds else ["mix"] * S
+        if len(self.kinds) < S:
+            self.kinds += ["mix"] * (S - len(self.kinds))
+        self.str_row = {}
+        for s, k in enumerate(self.kinds):
+            if k in ("str", "mix"):
+                self.str_row[s] = len(self.str_row)
+        self.n_rows = max(len(self.str_row), 1)
 
     def stype(self, s: int) -> int:
         return C_BASE + s
@@ -94,6 +105,9 @@ class _Cols:
 
     def slen(self, s: int) -> int:
         return C_BASE + 2 * self.S + s
+
+    def kind(self, s: int) -> str:
+        return self.kinds[s]
 
 
 class TurboBatch(NamedTuple):
@@ -261,15 +275,30 @@ def _render(ts: _TS, cols: _Cols, tmpl, t: int, w: int, lit):
             sln = None                      # constant-length segment
         else:
             s = seg.slot
+            k = cols.kind(s)
             st = _rd(ts, cols.stype(s))
-            is_int = st == T_INT
-            is_str = st == T_STR
-            ibuf, iln = _int_to_dec(_rd(ts, cols.sint(s)), t, w)
-            vbuf, vln = ts.strs[s], _rd(ts, cols.slen(s))
-            sbuf = jnp.where(is_int, ibuf, vbuf)
-            sln = jnp.where(is_int, iln, jnp.where(is_str, vln, 0))
             missing = missing | (st == T_EMPTY)
-            park = park | (is_str & _has_brace_or_escape(vbuf, vln, t, w))
+            if k == "none":
+                # referenced but never produced: statically missing
+                sbuf, sln = buf * 0, zero_i
+            elif k == "int":
+                sbuf, sln = _int_to_dec(_rd(ts, cols.sint(s)), t, w)
+            elif k == "str":
+                sbuf = ts.strs[cols.str_row[s]]
+                vln = _rd(ts, cols.slen(s))
+                sln = jnp.where(st == T_STR, vln, 0)
+                park = park | ((st == T_STR) &
+                               _has_brace_or_escape(sbuf, vln, t, w))
+            else:  # mix: both representations possible at runtime
+                is_int = st == T_INT
+                is_str = st == T_STR
+                ibuf, iln = _int_to_dec(_rd(ts, cols.sint(s)), t, w)
+                vbuf = ts.strs[cols.str_row[s]]
+                vln = _rd(ts, cols.slen(s))
+                sbuf = jnp.where(is_int, ibuf, vbuf)
+                sln = jnp.where(is_int, iln, jnp.where(is_str, vln, 0))
+                park = park | (is_str &
+                               _has_brace_or_escape(vbuf, vln, t, w))
         if const_off is not None:
             # offset still static: place with a static shift
             if const_off == 0:
@@ -428,7 +457,11 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
                 st = _rd(ts, cols.stype(s))
                 parkm = parkm | (st == T_EMPTY)  # set of a missing key raises
                 vt, vi = st, _rd(ts, cols.sint(s))
-                vbuf, vln = ts.strs[s], _rd(ts, cols.slen(s))
+                if s in cols.str_row:
+                    vbuf, vln = (ts.strs[cols.str_row[s]],
+                                 _rd(ts, cols.slen(s)))
+                else:
+                    vln = 0  # int/none source: byte plane untouched
             else:  # tmpl
                 vbuf, vln, missing, p = _render(ts, cols, instr.src[1],
                                                 t, w, lit)
@@ -437,9 +470,10 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
             ok = act & ~parkm
             parkm = act & ~ok
             strs = None
-            if vbuf is not None:
+            if vbuf is not None and out_slot in cols.str_row:
+                row = cols.str_row[out_slot]
                 strs = list(ts.strs)
-                strs[out_slot] = jnp.where(ok, vbuf, strs[out_slot])
+                strs[row] = jnp.where(ok, vbuf, strs[row])
                 strs = tuple(strs)
             return _advance(ts, cols, act, ok, parkm, next_pc,
                             writes=[(cols.stype(out_slot), vt),
@@ -464,12 +498,18 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
                 elif o == "slot":
                     s = opn[1]
                     st = _rd(ts, cols.stype(s))
-                    parsed, pok = _parse_dec(ts.strs[s],
-                                             _rd(ts, cols.slen(s)), t, w)
-                    val = jnp.where(st == T_INT, _rd(ts, cols.sint(s)),
-                                    parsed)
-                    parkm = parkm | (st == T_EMPTY) | \
-                        ((st == T_STR) & ~pok)
+                    if s in cols.str_row:
+                        parsed, pok = _parse_dec(
+                            ts.strs[cols.str_row[s]],
+                            _rd(ts, cols.slen(s)), t, w)
+                        val = jnp.where(st == T_INT,
+                                        _rd(ts, cols.sint(s)), parsed)
+                        parkm = parkm | (st == T_EMPTY) | \
+                            ((st == T_STR) & ~pok)
+                    else:
+                        # int/none slot: digit-string parsing is dead code
+                        val = _rd(ts, cols.sint(s))
+                        parkm = parkm | (st != T_INT)
                     stack.append(val)
                 elif o == "neg":
                     stack.append(-stack.pop())
@@ -578,7 +618,8 @@ def build_step_fn(plan: TurboPlan, tcfg: TurboConfig, n: int,
 
     S = max(plan.n_slots, 1)
     P = plan.n_instr
-    cols = _Cols(S)
+    cols = _Cols(S, plan.slot_kinds)
+    R = cols.n_rows
     t, w, ow, K = tcfg.tile, tcfg.width, tcfg.out_width, tcfg.k_steps
     assert n % t == 0
 
@@ -593,7 +634,7 @@ def build_step_fn(plan: TurboPlan, tcfg: TurboConfig, n: int,
         branches = [_build_branch(instr, pc, cols, tcfg, lit)
                     for pc, instr in enumerate(plan.instrs)]
         ts = _TS(regs=regs_ref[:],
-                 strs=tuple(sbuf_ref[s] for s in range(S)),
+                 strs=tuple(sbuf_ref[r] for r in range(R)),
                  out=out_ref[:])
 
         def cond(carry):
@@ -610,19 +651,19 @@ def build_step_fn(plan: TurboPlan, tcfg: TurboConfig, n: int,
         it0 = jnp.min(regs_ref[0, 0]) * 0
         _, ts = jax.lax.while_loop(cond, body, (it0, ts))
         o_regs[:] = ts.regs
-        for s in range(S):
-            o_sbuf[s] = ts.strs[s]
+        for r in range(R):
+            o_sbuf[r] = ts.strs[r]
         o_out[:] = ts.out
 
     grid = (n // t,)
     state_specs = [
         pl.BlockSpec((t, REGW), lambda g: (g, 0)),
-        pl.BlockSpec((S, t, w), lambda g: (0, g, 0)),
+        pl.BlockSpec((R, t, w), lambda g: (0, g, 0)),
         pl.BlockSpec((t, ow), lambda g: (g, 0)),
     ]
     shapes = (
         jax.ShapeDtypeStruct((n, REGW), jnp.int32),
-        jax.ShapeDtypeStruct((S, n, w), jnp.int32),
+        jax.ShapeDtypeStruct((R, n, w), jnp.int32),
         jax.ShapeDtypeStruct((n, ow), jnp.int32),
     )
 
@@ -677,7 +718,7 @@ class TurboEngine:
         self.plan = plan or plan_turbo(compiled)
         self.compiled = compiled
         self.tcfg = tcfg or TurboConfig()
-        self.cols = _Cols(max(self.plan.n_slots, 1))
+        self.cols = _Cols(max(self.plan.n_slots, 1), self.plan.slot_kinds)
         self.io_factory = io_factory or (lambda i: IOManager(BufferBackend()))
         if interpret is None:
             interpret = jax.devices()[0].platform not in ("tpu",)
@@ -718,15 +759,20 @@ class TurboEngine:
 
     def _encode_row(self, inserts: dict, output: str, pc: int,
                     steps: int) -> dict:
-        """Encode one instance's state into per-field numpy rows."""
-        S = max(self.plan.n_slots, 1)
+        """Encode one instance's state into per-field numpy rows.
+
+        Values violating the plan's slot-kind inference (a string landing
+        in an int-only slot or vice versa — only possible via host-serviced
+        ops the planner misjudged) raise, so the lane retires to exact host
+        execution instead of running a branch whose dead path was elided.
+        """
         w, ow = self.tcfg.width, self.tcfg.out_width
         cols = self.cols
         regs = np.zeros((REGW,), np.int32)
         regs[C_PC] = pc
         regs[C_STATUS] = RUNNING
         regs[C_STEPS] = steps
-        sbuf = np.zeros((S, w), np.int32)
+        sbuf = np.zeros((cols.n_rows, w), np.int32)
         out = np.zeros((ow,), np.int32)
         slot_of = self.plan.slot_of
         for key, value in inserts.items():
@@ -738,15 +784,21 @@ class TurboEngine:
             if isinstance(value, int):
                 if not (-2**31 <= value < 2**31):
                     raise TurboEncodeError(f"int {key!r} exceeds int32")
+                if cols.kind(s) in ("str", "none"):
+                    raise TurboEncodeError(
+                        f"int value in non-int slot {key!r}")
                 regs[cols.stype(s)] = T_INT
                 regs[cols.sint(s)] = value
             else:
                 data = value.encode("utf-8")
                 if len(data) > w:
                     raise TurboEncodeError(f"string {key!r} exceeds {w}B")
+                if s not in cols.str_row:
+                    raise TurboEncodeError(
+                        f"string value in int-only slot {key!r}")
                 regs[cols.stype(s)] = T_STR
                 regs[cols.slen(s)] = len(data)
-                sbuf[s, :len(data)] = list(data)
+                sbuf[cols.str_row[s], :len(data)] = list(data)
         out_data = output.encode("utf-8")
         if len(out_data) > ow:
             raise TurboEncodeError("output exceeds the device buffer")
@@ -764,8 +816,9 @@ class TurboEngine:
                 inserts[key] = int(regs[cols.sint(s)])
             elif vt == T_STR:
                 ln = int(regs[cols.slen(s)])
+                row = cols.str_row[s]
                 inserts[key] = bytes(
-                    sub["sbuf"][s, j, :ln].astype(np.uint8)
+                    sub["sbuf"][row, j, :ln].astype(np.uint8)
                 ).decode("utf-8", "replace")
         ln = int(regs[C_OUTLEN])
         output = bytes(sub["out"][j, :ln].astype(np.uint8)).decode(
