@@ -38,7 +38,11 @@ def test_text_adventure_compiles_for_device(tmp_path):
     assert not compiled.host_only, compiled.host_only_reason
 
 
-def test_device_text_adventure_two_turns(tmp_path, capsys):
+@pytest.mark.parametrize("mode", ["eager", "jit"])
+def test_device_text_adventure_two_turns(tmp_path, capsys, mode):
+    """Both device dispatch modes: 'eager' (per-handler concrete stepping)
+    and 'jit' (the compiled run_batch loop — the ONLY path that ever runs
+    on a TPU, so it needs end-to-end coverage, not just liveness)."""
     counter = {"n": 0}
 
     def counting_responder(body):
@@ -58,7 +62,7 @@ def test_device_text_adventure_two_turns(tmp_path, capsys):
                 "open the door",
                 "(what year is it)",
             ])
-            runner = DeviceRunner(compiled, CFG,
+            runner = DeviceRunner(compiled, CFG, mode=mode,
                                   io_factory=lambda i: IOManager(backend))
             batch = runner.make_instances(1)
             task = asyncio.create_task(
