@@ -175,9 +175,9 @@ class DeviceRunner:
 
     # ---- host ring ---------------------------------------------------------------
 
-    async def _service_instance(self, batch: VMInstance, i: int,
+    async def _service_instance(self, st: VMInstance, i: int,
                                 rts: dict) -> VMInstance:
-        st = _index(batch, i)
+        """Service one parked instance (st is its gathered row, host-side)."""
         pc = int(st.park_arg)
         kind = int(st.park_kind)
         task = self.compiled.source_tasks[pc]
@@ -197,7 +197,7 @@ class DeviceRunner:
                 resolved = None
             if resolved is not None and resolved in inserts:
                 return self._resume(st, state, pc + 1)
-            return _index(batch, i)  # still parked
+            return st  # still parked
 
         rt = rts.setdefault(i, Runtime(self.io_factory(i),
                                        self.compiled.program.get(
@@ -244,6 +244,7 @@ class DeviceRunner:
 
     async def run_async(self, batch: VMInstance, *, inner_steps: int = 64,
                         max_rounds: int = 10_000) -> VMInstance:
+        import time
         rts: dict = {}
         stalled_rounds = 0
         for round_no in range(max_rounds):
@@ -255,16 +256,24 @@ class DeviceRunner:
                 if not (status == RUNNING).any():
                     break
                 continue
+            # batched ring: ONE gather of all parked rows, host service in
+            # numpy, ONE scatter back (SURVEY §7.3(7)) — never per-instance
+            # device indexing
+            t_ring = time.perf_counter()
+            idx = jnp.asarray(parked)
+            sub = jax.tree.map(lambda a: np.asarray(a[idx]), batch)
+            serviced = await asyncio.gather(*[
+                self._service_instance(_index(sub, j), int(i), rts)
+                for j, i in enumerate(parked)])
+            resumed = sum(1 for st in serviced if int(st.status) != PARKED)
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *serviced)
+            batch = jax.tree.map(lambda b, s: b.at[idx].set(s),
+                                 batch, stacked)
+            ring_ms = (time.perf_counter() - t_ring) * 1e3
             EVENTS.emit(VM_ROUND, round=round_no,
                         running=int((status == RUNNING).sum()),
-                        parked=len(parked))
-            serviced = await asyncio.gather(*[
-                self._service_instance(batch, int(i), rts) for i in parked])
-            resumed = 0
-            for i, st in zip(parked, serviced):
-                if int(st.status) != PARKED:
-                    resumed += 1
-                batch = _scatter(batch, int(i), st)
+                        parked=len(parked), resumed=resumed,
+                        ring_ms=round(ring_ms, 3))
             status = np.asarray(batch.status)
             if not ((status == RUNNING) | (status == PARKED)).any():
                 break

@@ -327,3 +327,52 @@ def test_dynamic_task_list_is_host_only():
     compiled = compile_program(program)
     assert compiled.host_only
     assert "dynamic task list" in compiled.host_only_reason
+
+
+def test_batched_ring_services_many_parks_at_once(capsys):
+    """32 instances all parking on user_input must be gathered, serviced,
+    and scattered back in ONE ring round (with ring_ms telemetry) — not
+    via per-instance device indexing."""
+    import io as io_mod
+    import json as json_mod
+
+    from interpolation_engine_tpu.core.events import EVENTS
+    from interpolation_engine_tpu.io.manager import IOManager, ScriptedBackend
+
+    src = """
+    {
+        default_state: {order_index: 1, inserts: {}},
+        order: [
+            {cmd:'user_input', prompt:'p', output_name:'v'},
+            {cmd:'print', text:'got {v};'},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """
+    program = json5.loads(add_line_numbers(src))
+    validate_program(program)
+    compiled = compile_program(program)
+    runner = DeviceRunner(
+        compiled, CFG,
+        io_factory=lambda i: IOManager(ScriptedBackend([f"a{i}"])))
+    batch = runner.make_instances(32)
+    sink = io_mod.StringIO()
+    old_sink = EVENTS.json_sink
+    EVENTS.json_sink = sink
+    try:
+        final = runner.run(batch, inner_steps=8, max_rounds=50)
+    finally:
+        EVENTS.json_sink = old_sink
+    capsys.readouterr()
+    results = runner.results(final)
+    for i, r in enumerate(results):
+        assert r.status == DONE
+        assert r.output == f"got a{i};"
+    rounds = [json_mod.loads(line) for line in sink.getvalue().splitlines()
+              if json_mod.loads(line)["kind"] == "vm_round"]
+    ring_rounds = [r for r in rounds if r.get("parked", 0) > 0]
+    assert ring_rounds, rounds
+    # all 32 parks drained in one batched round, with ring timing recorded
+    assert ring_rounds[0]["parked"] == 32
+    assert ring_rounds[0]["resumed"] == 32
+    assert ring_rounds[0]["ring_ms"] >= 0
