@@ -57,6 +57,12 @@ class CompiledProgram:
     scope_of: list = field(default_factory=list)    # pc → scope id
     label_names: dict = field(default_factory=dict)  # (scope_id, name) → pc
     max_list_literal: int = 0
+    # mid-block resume maps (reference cursor keys `order_index/<path>`,
+    # interpolation_engine.py:2089-2094): block runtime-label path → the pc
+    # of each 1-based subtask (labels map to the following instruction), and
+    # `for` block path → device loop-counter slot
+    block_task_pcs: dict = field(default_factory=dict)
+    block_loop_id: dict = field(default_factory=dict)
 
     @property
     def n_instr(self) -> int:
@@ -82,6 +88,8 @@ class _Builder:
         self.host_only_reason = ""
         self.max_list_literal = 0
         self._cur_order_index = 0
+        self.block_task_pcs: dict = {}
+        self.block_loop_id: dict = {}
 
     # ---- tables -------------------------------------------------------------
 
@@ -138,8 +146,15 @@ class _Builder:
 
     # ---- task lowering -----------------------------------------------------------
 
-    def lower_task_list(self, tasks: list, named_stack: tuple = ()) -> None:
-        """Emit a task list as one scope; resolves local labels and gotos."""
+    def lower_task_list(self, tasks: list, named_stack: tuple = (),
+                        block_path: str = None,
+                        child_prefix: str = None) -> None:
+        """Emit a task list as one scope; resolves local labels and gotos.
+
+        ``block_path`` (the block's runtime-label path, when this list is a
+        resumable serial/for body) registers per-subtask pcs for mid-block
+        resume; ``child_prefix`` prefixes the runtime labels of the lowered
+        subtasks (equal to block_path for serial/for bodies)."""
         if not isinstance(tasks, list) or any(
                 not isinstance(t, dict) for t in tasks):
             raise _HostOnly("dynamic task list")
@@ -153,12 +168,17 @@ class _Builder:
         pending_gotos: list[tuple[int, str]] = []           # (pc, label)
 
         # first emit everything, remembering label positions
+        task_pcs: list[int] = []
         for task in tasks:
             cmd = task.get("cmd")
+            task_pcs.append(len(self.code))
             if cmd == "label":
                 label_pcs[task["name"]] = len(self.code)  # next instruction
                 continue
-            self.lower_task(task, scope_id, pending_gotos, named_stack)
+            self.lower_task(task, scope_id, pending_gotos, named_stack,
+                            child_prefix)
+        if block_path is not None:
+            self.block_task_pcs[block_path] = task_pcs
 
         # resolve local gotos (a target may legitimately sit at end-of-scope)
         for pc, name in pending_gotos:
@@ -202,9 +222,13 @@ class _Builder:
             self.label_names[(scope_id, name)] = pc
 
     def lower_task(self, task: dict, scope_id: int,
-                   pending_gotos: list, named_stack: tuple) -> None:
+                   pending_gotos: list, named_stack: tuple,
+                   path_prefix: str = None) -> None:
         cmd = task.get("cmd")
         t = task
+        label = task.get(
+            "traceback_label", f"{cmd}-{task.get('line', 0)}")
+        full_path = label if not path_prefix else f"{path_prefix}/{label}"
 
         def name_pair(value: str) -> list[int]:
             off, ln = self.intern(value)
@@ -355,7 +379,9 @@ class _Builder:
             self.emit(isa.OP_RANDOM_CHOICE, base, task=t)
 
         elif cmd == "serial":
-            self.lower_task_list(t["tasks"], named_stack)
+            self.lower_task_list(t["tasks"], named_stack,
+                                 block_path=full_path,
+                                 child_prefix=full_path)
 
         elif cmd == "for":
             loop_id = self.n_loops
@@ -370,7 +396,10 @@ class _Builder:
                 pairs.extend([off, ln] + self.vspec(lst))
             head_base = self.put_aux([loop_id, 0] + pairs)  # [1] = exit pc
             head_pc = self.emit(isa.OP_FOR_HEAD, head_base, len(nlm), task=t)
-            self.lower_task_list(t["tasks"], named_stack)
+            self.block_loop_id[full_path] = loop_id
+            self.lower_task_list(t["tasks"], named_stack,
+                                 block_path=full_path,
+                                 child_prefix=full_path)
             self.emit(isa.OP_FOR_NEXT, head_pc, loop_id, task=t)
             exit_pc = len(self.code)
             self.aux[head_base + 1] = exit_pc
@@ -383,7 +412,10 @@ class _Builder:
             if task_name in named_stack:
                 raise _HostOnly(f"recursive run_task '{task_name}'")
             sub = self.program["named_tasks"][task_name]
-            self.lower_task_list([sub], named_stack + (task_name,))
+            # the executor extends the runtime label through run_task, so
+            # blocks inside the named task resume under this call's path
+            self.lower_task_list([sub], named_stack + (task_name,),
+                                 child_prefix=full_path)
 
         elif cmd == "user_input":
             self.emit_park(PARK_USER_INPUT, t)
@@ -427,12 +459,15 @@ def compile_program(program: dict) -> CompiledProgram:
         b.n_scopes += 1
         label_pcs: dict[str, int] = {}
         pending: list[tuple[int, str]] = []
+        top_pcs: list[int] = []
         for i, task in enumerate(tasks):
             b._cur_order_index = i + 1
+            top_pcs.append(len(b.code))
             if task.get("cmd") == "label":
                 label_pcs[task["name"]] = len(b.code)
                 continue
             b.lower_task(task, scope_id, pending, ())
+        b.block_task_pcs[""] = top_pcs
         b._cur_order_index = len(tasks) + 1
         b.emit(isa.OP_HALT)
         for pc, name in pending:
@@ -464,4 +499,6 @@ def compile_program(program: dict) -> CompiledProgram:
         n_loops=max(b.n_loops, 1),
         program=program,
         max_list_literal=b.max_list_literal,
+        block_task_pcs=b.block_task_pcs,
+        block_loop_id=b.block_loop_id,
     )

@@ -295,20 +295,87 @@ class DeviceRunner:
     # ---- save/load (reference-format state dicts) -----------------------------
 
     def export_state(self, batch: VMInstance, i: int) -> dict:
-        """Decode instance i into the reference's runtime-state dict shape.
-
-        ``order_index`` comes from the pc→order-index map; a pc inside a
-        flattened block maps to its enclosing top-level task, so resuming a
-        mid-block save restarts that block (the host engine preserves exact
-        mid-block cursors — use it when that fidelity matters).
-        """
+        """Decode instance i into the reference's runtime-state dict shape,
+        including nested ``order_index/<path>`` cursors (and ``.../counter``
+        for ``for`` loops) reconstructed from (pc, counter slots) — the
+        inverse of load_state, so mid-block device saves resume exactly on
+        either engine (interpolation_engine.py:2089-2094)."""
         st = _index(batch, i)
-        pc = min(int(st.pc), len(self.compiled.order_index_of) - 1)
-        return {
-            "order_index": self.compiled.order_index_of[pc],
+        pc = min(int(st.pc), self.compiled.n_instr - 1)
+        counters = np.asarray(st.counters)
+        state = {
             "inserts": decode_inserts(st),
             "output": decode_output(st),
         }
+        self._emit_cursors(state, pc, counters)
+        return state
+
+    def _emit_cursors(self, state: dict, pc: int, counters) -> None:
+        from ..vm import isa as _isa
+        named_tasks = self.compiled.program.get("named_tasks", {})
+        code = self.compiled.code
+        tasks = self.compiled.program["order"]
+        pcs = self.compiled.block_task_pcs.get("", [])
+        prefix = None
+        # a pc sitting on OP_FOR_NEXT means "iteration done": the host
+        # equivalent is counter+1 with no body cursor
+        at_for_next = pc < len(code) and int(code[pc][0]) == _isa.OP_FOR_NEXT
+        while True:
+            j = 0
+            for idx, start in enumerate(pcs, start=1):
+                if start <= pc:
+                    j = idx
+            if j == 0:
+                j = 1  # before the first recorded start (defensive)
+            if int(code[min(pc, len(code) - 1)][0]) == _isa.OP_HALT and \
+                    prefix is None:
+                state["order_index"] = len(tasks) + 1
+                return
+            key = "order_index" if prefix is None else \
+                f"order_index/{prefix}"
+            state[key] = j
+            if j > len(tasks):
+                return
+            t = tasks[j - 1]
+            label = t.get("traceback_label",
+                          f"{t.get('cmd')}-{t.get('line', 0)}")
+            path = label if prefix is None else f"{prefix}/{label}"
+            seen = set()
+            while t.get("cmd") == "run_task" and \
+                    isinstance(t.get("task_name"), str) and \
+                    t["task_name"] in named_tasks and \
+                    t["task_name"] not in seen:
+                seen.add(t["task_name"])
+                t = named_tasks[t["task_name"]]
+                sub_label = t.get("traceback_label",
+                                  f"{t.get('cmd')}-{t.get('line', 0)}")
+                path = f"{path}/{sub_label}"
+            cmd = t.get("cmd")
+            if cmd == "serial" and path in self.compiled.block_task_pcs:
+                body = self.compiled.block_task_pcs[path]
+                if body and pc >= body[0]:
+                    tasks, pcs, prefix = t["tasks"], body, path
+                    continue
+                return
+            if cmd == "for" and path in self.compiled.block_task_pcs:
+                loop_id = self.compiled.block_loop_id.get(path)
+                c = int(counters[loop_id]) if loop_id is not None and \
+                    loop_id < len(counters) else 0
+                head_pc = pcs[j - 1]
+                body = self.compiled.block_task_pcs[path]
+                if pc == head_pc:
+                    if c > 0:
+                        state[f"order_index/{path}/counter"] = c
+                    return
+                if at_for_next:
+                    state[f"order_index/{path}/counter"] = c + 1
+                    return
+                state[f"order_index/{path}/counter"] = max(c, 1)
+                if body and pc >= body[0]:
+                    tasks, pcs, prefix = t["tasks"], body, path
+                    continue
+                return
+            return
 
     def save_to_program(self, batch: VMInstance, i: int, slot: str,
                         label: str, filepath: str):
@@ -323,21 +390,84 @@ class DeviceRunner:
     def load_state(self, state: dict, *, seed: int = 0) -> VMInstance:
         """Encode a reference-format state dict as a device instance.
 
-        States carrying nested block cursors (``order_index/...`` keys)
-        cannot resume mid-block on the flat table; they are rejected — run
-        those on the host engine.
+        Nested block cursors (``order_index/<path>`` keys and
+        ``.../counter`` for ``for`` loops, interpolation_engine.py:2089-2094)
+        resume mid-block: the cursor chain is walked down the compiler's
+        block_task_pcs map to the innermost subtask's pc, and for-counters
+        land in the device loop-counter slots. Only cursors *below* a
+        host-op leaf (e.g. inside a parallel block, whose sub-state the
+        device cannot carry) are rejected — run those on the host engine.
         """
-        nested = [k for k in state if k.startswith("order_index/")]
-        if nested:
+        counters = np.zeros((self.cfg.max_loops,), np.int32)
+        pc, leftovers = self._pc_of_state(state, counters)
+        if leftovers:
             raise ValueError(
-                f"state has nested block cursors {nested}; mid-block resume "
-                f"requires the host engine")
-        order_index = state.get("order_index", 1)
-        pc = self.pc_of_order_index(order_index)
+                f"state has block cursors below a host-op task "
+                f"{sorted(leftovers)}; resume requires the host engine")
         inserts = {k: v for k, v in state.get("inserts", {}).items()}
         return encode_instance(inserts, self.cfg,
                                output=state.get("output", ""),
-                               pc=pc, rng=seed)
+                               pc=pc, counters=counters, rng=seed)
+
+    def _pc_of_state(self, state: dict, counters) -> tuple:
+        """Resolve (order_index + nested cursors) → (pc, unconsumed keys)."""
+        cursors = {k for k in state if k.startswith("order_index/")}
+        consumed: set = set()
+        named_tasks = self.compiled.program.get("named_tasks", {})
+        tasks = self.compiled.program["order"]
+        pcs = self.compiled.block_task_pcs.get("", [])
+        k = int(state.get("order_index", 1))
+        prefix = None
+        while True:
+            if k > len(tasks) and prefix is None:
+                return self.compiled.n_instr - 1, cursors - consumed  # HALT
+            if not (1 <= k <= len(tasks)):
+                raise ValueError(f"cursor {k} out of range for block "
+                                 f"{prefix!r}")
+            t = tasks[k - 1]
+            pc = pcs[k - 1]
+            label = t.get("traceback_label",
+                          f"{t.get('cmd')}-{t.get('line', 0)}")
+            path = label if prefix is None else f"{prefix}/{label}"
+            # run_task chains extend the path without a cursor of their own
+            seen = set()
+            while t.get("cmd") == "run_task" and \
+                    isinstance(t.get("task_name"), str) and \
+                    t["task_name"] in named_tasks and \
+                    t["task_name"] not in seen:
+                seen.add(t["task_name"])
+                t = named_tasks[t["task_name"]]
+                sub_label = t.get("traceback_label",
+                                  f"{t.get('cmd')}-{t.get('line', 0)}")
+                path = f"{path}/{sub_label}"
+            cmd = t.get("cmd")
+            if cmd == "serial":
+                key = f"order_index/{path}"
+                if key in state:
+                    consumed.add(key)
+                    tasks = t["tasks"]
+                    pcs = self.compiled.block_task_pcs[path]
+                    k = int(state[key])
+                    prefix = path
+                    continue
+                return pc, cursors - consumed
+            if cmd == "for":
+                ckey = f"order_index/{path}/counter"
+                bkey = f"order_index/{path}"
+                if ckey in state:
+                    consumed.add(ckey)
+                    loop_id = self.compiled.block_loop_id.get(path)
+                    if loop_id is not None and loop_id < len(counters):
+                        counters[loop_id] = int(state[ckey])
+                if bkey in state:
+                    consumed.add(bkey)
+                    tasks = t["tasks"]
+                    pcs = self.compiled.block_task_pcs[path]
+                    k = int(state[bkey])
+                    prefix = path
+                    continue
+                return pc, cursors - consumed
+            return pc, cursors - consumed
 
     def pc_of_order_index(self, order_index: int) -> int:
         """First instruction belonging to the 1-based top-level task index."""
