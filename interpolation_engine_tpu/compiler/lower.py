@@ -10,11 +10,12 @@ markers (with the original task attached) wherever a task needs host
 services (user IO, chat, filesystem, TTS) or shapes the device kernels
 defer on.
 
-``parallel_wait``/``parallel_race`` blocks lower to OP_PARK: the whole block
-runs on the host ring with true asyncio semantics while the rest of the
-program stays on device. Only dynamic (interpolated) task lists, recursive
-run_task, and intra-scope label-hash collisions flag a program
-``host_only`` — the driver then runs it on the exact host engine.
+Top-level ``parallel_wait``/``parallel_race`` blocks lower to device thread
+lanes (OP_PAR_BEGIN + one OP_THREAD_END-terminated body per subtask); nested
+or oversized blocks park wholesale to the host ring with true asyncio
+semantics. Only dynamic (interpolated) task lists, recursive run_task, and
+intra-scope label-hash collisions flag a program ``host_only`` — the driver
+then runs it on the exact host engine.
 """
 
 from __future__ import annotations
@@ -36,6 +37,11 @@ from ..vm.config import (
     PARK_WRITE,
 )
 from ..vm.state import fnv1a_np
+
+# compile-time cap on thread lanes per parallel block; blocks with more
+# subtasks park wholesale to the host ring (must be <= VMConfig.max_threads
+# at run time — the driver validates)
+MAX_THREADS = 8
 
 
 class CompileError(ValueError):
@@ -63,6 +69,9 @@ class CompiledProgram:
     # `for` block path → device loop-counter slot
     block_task_pcs: dict = field(default_factory=dict)
     block_loop_id: dict = field(default_factory=dict)
+    # max thread lanes any parallel_wait/race block spawns (0 = no native
+    # parallel blocks); the driver checks it against VMConfig.max_threads
+    needs_threads: int = 0
 
     @property
     def n_instr(self) -> int:
@@ -90,6 +99,8 @@ class _Builder:
         self._cur_order_index = 0
         self.block_task_pcs: dict = {}
         self.block_loop_id: dict = {}
+        self._par_depth = 0
+        self.needs_threads = 0
 
     # ---- tables -------------------------------------------------------------
 
@@ -433,16 +444,55 @@ class _Builder:
             self.emit_park(PARK_SHOW_INSERTS, t)
 
         elif cmd in ("parallel_wait", "parallel_race"):
-            # The whole parallel block runs on the host ring with true
-            # asyncio semantics (concurrency, race cancellation, raced
-            # sub-cursor purge) while the rest of the program stays on
-            # device. Device-native thread slots are a later milestone.
-            self.emit_park(PARK_HOST_OP, t)
+            self.lower_parallel(t, scope_id, pending_gotos, named_stack)
         else:
             self.emit_park(PARK_HOST_OP, t)
 
     def emit_park(self, kind: int, task: dict) -> int:
         return self.emit(isa.OP_PARK, kind, task=task)
+
+    def lower_parallel(self, t: dict, scope_id: int, pending_gotos: list,
+                       named_stack: tuple) -> None:
+        """Lower parallel_wait/parallel_race to device thread lanes.
+
+        Reference semantics (interpolation_engine.py:1581-1626): gather/
+        FIRST_COMPLETED over subtask coroutines sharing one state, switching
+        at awaits. Device shape: OP_PAR_BEGIN spawns one pc lane per subtask;
+        each body ends in OP_THREAD_END; the vm/step.py scheduler switches
+        lanes at park points; the host ring services waiting lanes
+        concurrently. Nested or oversized blocks park wholesale to the ring
+        (true asyncio semantics), so depth > 0 stays exact.
+        """
+        subtasks = t.get("tasks")
+        if not isinstance(subtasks, list) or \
+                any(not isinstance(s, dict) for s in subtasks):
+            raise _HostOnly("dynamic task list")
+        if self._par_depth > 0 or not subtasks or \
+                len(subtasks) > MAX_THREADS:
+            self.emit_park(PARK_HOST_OP, t)
+            return
+        mode = 1 if t["cmd"] == "parallel_wait" else 2
+        K = len(subtasks)
+        # aux record: [mode, K, join_pc, loop_lo, loop_hi, entry_0..K-1]
+        # (join/loop span/entries patched below, after bodies are emitted)
+        base = self.put_aux([mode, K, 0, 0, 0] + [0] * K)
+        self.emit(isa.OP_PAR_BEGIN, base, task=t)
+        loop_lo = self.n_loops
+        self._par_depth += 1
+        for ti, sub in enumerate(subtasks):
+            self.aux[base + 5 + ti] = len(self.code)
+            if sub.get("cmd") in ("goto", "goto_map", "label"):
+                # direct children: the reference asserts at runtime ("goto is
+                # not supported in parallel", :1314/:1335) — host re-raises
+                self.emit_park(PARK_HOST_OP, sub)
+            else:
+                self.lower_task(sub, scope_id, pending_gotos, named_stack)
+            self.emit(isa.OP_THREAD_END, base, task=t)
+        self._par_depth -= 1
+        self.aux[base + 2] = len(self.code)       # join pc
+        self.aux[base + 3] = loop_lo              # loop ids inside the block:
+        self.aux[base + 4] = self.n_loops         # reset on entry (race purge)
+        self.needs_threads = max(self.needs_threads, K)
 
 
 class _HostOnly(Exception):
@@ -501,4 +551,5 @@ def compile_program(program: dict) -> CompiledProgram:
         max_list_literal=b.max_list_literal,
         block_task_pcs=b.block_task_pcs,
         block_loop_id=b.block_loop_id,
+        needs_threads=b.needs_threads,
     )

@@ -541,6 +541,10 @@ def _plan_instr(plan, compiled, pc, op, a, b, task, slot_for, park):
     # execution per lane (leaf tasks resume at pc+1)
     if op in (isa.OP_FOR_HEAD, isa.OP_FOR_NEXT):
         raise NotTurbo("for loops not yet on the turbo path")
+    if op in (isa.OP_PAR_BEGIN, isa.OP_THREAD_END):
+        # thread lanes live in the general VM (vm/step.py scheduler); a
+        # turbo park here would lose the lane bookkeeping
+        raise NotTurbo("parallel blocks not on the turbo path")
     return park(pc)
 
 

@@ -24,6 +24,7 @@ class VMConfig:
     max_stars: int = 7        # wildcard '*' groups per pattern
     max_fix: int = 24         # replace_map repeat_until_done iterations
     max_list: int = 48        # max elements manipulated per list op
+    max_threads: int = 8      # parallel_wait/race thread lanes per instance
 
     def smaller(self, **kw):
         from dataclasses import replace
@@ -49,3 +50,19 @@ PARK_SPEAK = 6
 PARK_SHOW_INSERTS = 7
 PARK_SLEEP = 8
 PARK_HOST_OP = 9   # anything the device lowers to "run this task on host"
+PARK_THREADS = 10  # every live parallel-block thread is awaiting host IO
+
+# Thread-lane states (parallel_wait/parallel_race device threads; the lane
+# currently executing is tracked by VMInstance.cur_tid)
+T_FREE = 0    # lane unused
+T_NEW = 1     # spawned, never run (asyncio: scheduled, first slice pending)
+T_READY = 2   # resumed — host IO completed, lane can continue
+T_WAIT = 3    # parked on host IO (tpark_kind/tpark_arg say why/where)
+T_DONE = 4    # subtask body completed
+
+# par_mode values
+PM_NONE = 0
+PM_WAIT = 1   # parallel_wait (asyncio.gather)
+PM_RACE = 2   # parallel_race (asyncio.wait FIRST_COMPLETED)
+PM_DRAIN = 3  # race finished; never-run lanes get their first slice, then
+              # everything pending is cancelled (asyncio scheduling parity)

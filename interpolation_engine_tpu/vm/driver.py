@@ -9,8 +9,10 @@ behave identically to the oracle), re-encodes — which also compacts arena
 garbage — and resumes it. Instances never block the device step loop.
 
 Programs flagged host_only (dynamic task lists, recursive run_task) run
-entirely on the host engine, one asyncio task per instance. parallel blocks
-are NOT host_only: they lower to OP_PARK and run on the ring.
+entirely on the host engine, one asyncio task per instance. Top-level
+parallel_wait/parallel_race blocks run as device thread lanes (vm/step.py
+scheduler); the ring services waiting lanes concurrently with persistent
+per-lane coroutines. Nested parallel blocks park wholesale to the ring.
 """
 
 from __future__ import annotations
@@ -32,7 +34,8 @@ from ..core.interp import InterpolationException
 from ..compiler.lower import CompiledProgram, compile_program
 from ..io.manager import BufferBackend, IOManager
 from ..programs.loader import load
-from .config import PARKED, PARK_AWAIT_INSERT, RUNNING, VMConfig
+from .config import (PARKED, PARK_AWAIT_INSERT, PARK_THREADS, RUNNING,
+                     T_FREE, T_NEW, T_READY, T_WAIT, VMConfig)
 from .state import (
     VMInstance,
     decode_inserts,
@@ -105,6 +108,13 @@ class DeviceRunner:
             # eager shares the unspecialized handler set across programs
             _, _, self._gstep, _ = make_generic_step(self.cfg)
         self.total_device_steps = 0
+        if compiled.needs_threads > self.cfg.max_threads:
+            raise ValueError(
+                f"program spawns {compiled.needs_threads} parallel threads "
+                f"but cfg.max_threads={self.cfg.max_threads}")
+        # host IO pending per instance while its parallel-block lanes wait:
+        # i → {"epoch": par_epoch when created, "tasks": {lane: asyncio.Task}}
+        self._pending: dict = {}
 
     def _jitted(self, batch, inner_steps: int):
         if self.mode == "jit":
@@ -175,38 +185,31 @@ class DeviceRunner:
 
     # ---- host ring ---------------------------------------------------------------
 
-    async def _service_instance(self, st: VMInstance, i: int,
-                                rts: dict) -> VMInstance:
-        """Service one parked instance (st is its gathered row, host-side)."""
-        pc = int(st.park_arg)
-        kind = int(st.park_kind)
-        task = self.compiled.source_tasks[pc]
-        inserts = decode_inserts(st)
-        state = {"inserts": inserts, "output": decode_output(st)}
+    def _await_insert_ready(self, task, inserts) -> bool:
+        """Non-blocking await_insert check: does the (interpolated) key
+        exist? Mirrors the reference's poll loop without sleeping."""
+        name = task.get("name")
+        from ..core.interp import get_simple_insertkey, interpolate_inserts
+        try:
+            resolved = name
+            key = get_simple_insertkey(name)
+            if key or INSERT_START in str(name):
+                resolved = interpolate_inserts(inserts, name)
+        except InterpolationException:
+            resolved = None
+        return resolved is not None and resolved in inserts
 
-        if kind == PARK_AWAIT_INSERT and task is not None:
-            # non-blocking existence check; stays parked until the key exists
-            name = task.get("name")
-            from ..core.interp import get_simple_insertkey, interpolate_inserts
-            try:
-                resolved = name
-                key = get_simple_insertkey(name)
-                if key or INSERT_START in str(name):
-                    resolved = interpolate_inserts(inserts, name)
-            except InterpolationException:
-                resolved = None
-            if resolved is not None and resolved in inserts:
-                return self._resume(st, state, pc + 1)
-            return st  # still parked
+    def _runtime_for(self, i: int, rts: dict) -> Runtime:
+        return rts.setdefault(i, Runtime(self.io_factory(i),
+                                         self.compiled.program.get(
+                                             "completion_args", {}),
+                                         self.compiled.program.get(
+                                             "named_tasks", {})))
 
-        rt = rts.setdefault(i, Runtime(self.io_factory(i),
-                                       self.compiled.program.get(
-                                           "completion_args", {}),
-                                       self.compiled.program.get(
-                                           "named_tasks", {})))
-        if task is None:
-            raise RuntimeError(f"instance {i}: parked at pc={pc} with no "
-                               f"source task")
+    async def _exec_parked(self, rt: Runtime, state: dict, pc: int,
+                           task: dict, i: int, kind: int) -> int:
+        """Execute one parked task on the host against `state`; return the
+        next pc (goto results resolved through the parked pc's scope)."""
         # device-side prints only touched the instance's output buffer; sync
         # the IO backend so agent payloads carry the current screen content
         backend = getattr(rt.io, "backend", None)
@@ -217,28 +220,216 @@ class DeviceRunner:
         result = await execute_task(rt, state, task,
                                     task.get("traceback_label", "?"))
         if result is None:
-            next_pc = pc + 1
-        elif isinstance(result, dict) and "goto_target" in result:
+            return pc + 1
+        if isinstance(result, dict) and "goto_target" in result:
             target = result["goto_target"]
             scope = self.compiled.scope_of[pc]
             if target == "CONTINUE":
-                next_pc = pc + 1
-            else:
-                key = (scope, target)
-                if key not in self.compiled.label_names:
-                    raise ValueError(
-                        f"goto target '{target}' not found in scope")
-                next_pc = self.compiled.label_names[key]
-        else:
-            raise RuntimeError(f"unexpected task result: {result}")
+                return pc + 1
+            key = (scope, target)
+            if key not in self.compiled.label_names:
+                raise ValueError(
+                    f"goto target '{target}' not found in scope")
+            return self.compiled.label_names[key]
+        raise RuntimeError(f"unexpected task result: {result}")
+
+    async def _service_instance(self, st: VMInstance, i: int,
+                                rts: dict) -> VMInstance:
+        """Service one parked instance (st is its gathered row, host-side)."""
+        pc = int(st.park_arg)
+        kind = int(st.park_kind)
+        if kind == PARK_THREADS:
+            return await self._service_threads(st, i, rts)
+        task = self.compiled.source_tasks[pc]
+        inserts = decode_inserts(st)
+        state = {"inserts": inserts, "output": decode_output(st)}
+
+        if kind == PARK_AWAIT_INSERT and task is not None:
+            if self._await_insert_ready(task, inserts):
+                return self._resume(st, state, pc + 1)
+            return st  # still parked
+
+        rt = self._runtime_for(i, rts)
+        if task is None:
+            raise RuntimeError(f"instance {i}: parked at pc={pc} with no "
+                               f"source task")
+        next_pc = await self._exec_parked(rt, state, pc, task, i, kind)
         return self._resume(st, state, next_pc)
+
+    # ---- parallel-block thread servicing -----------------------------------
+
+    async def _run_thread_task(self, rt: Runtime, i: int, pc: int,
+                               task: dict, kind: int, state: dict):
+        """One waiting lane's host IO, on its own copy of the instance
+        state (the write-back happens at completion — exactly when the
+        reference's await resolves and its coroutine's writes land)."""
+        snap = {"inserts": dict(state["inserts"]), "output": state["output"]}
+        next_pc = await self._exec_parked(rt, state, pc, task, i, kind)
+        return snap, state, next_pc
+
+    @staticmethod
+    def _apply_delta(cur: dict, snap: dict, result: dict) -> None:
+        """Merge one completed lane's state writes into the live state
+        (last-write-wins at completion time, like asyncio)."""
+        for k, v in result["inserts"].items():
+            if k not in snap["inserts"] or snap["inserts"][k] != v:
+                cur["inserts"][k] = v
+        for k in snap["inserts"]:
+            if k not in result["inserts"]:
+                cur["inserts"].pop(k, None)
+        out, old = result["output"], snap["output"]
+        if out.startswith(old):
+            cur["output"] += out[len(old):]
+        elif out != old:
+            cur["output"] = out
+
+    async def _cancel_pending(self, i: int) -> None:
+        pend = self._pending.pop(i, None)
+        if not pend:
+            return
+        for t in pend["tasks"].values():
+            t.cancel()
+        await asyncio.gather(*pend["tasks"].values(), return_exceptions=True)
+
+    async def _service_threads(self, st: VMInstance, i: int,
+                               rts: dict) -> VMInstance:
+        """Service an instance parked inside a parallel block — the device
+        twin of one asyncio event-loop pass.
+
+        Every waiting lane holds a persistent asyncio task (surviving across
+        rounds, so a pending chat/user_input is never restarted); new lane
+        tasks get one loop tick so their synchronous prefix runs. Resume
+        priority mirrors the event loop: the lane that just parked continues
+        if its IO completed without suspending (a non-yielding await is
+        invisible in the reference), else queued completions / never-run
+        lanes, else block until the first pending completion. par_mode==3
+        (drain): a finished race's never-run lanes just got their first
+        slice on device; give their host ops one tick, then cancel
+        everything and leave the block — asyncio.wait cancellation parity.
+        """
+        tstate = np.asarray(st.tstate).copy()
+        tpc = np.asarray(st.tpc).copy()
+        tpark_kind = np.asarray(st.tpark_kind)
+        tpark_arg = np.asarray(st.tpark_arg)
+        state = {"inserts": decode_inserts(st), "output": decode_output(st)}
+        epoch = int(st.par_epoch)
+        cur = int(st.cur_tid)
+        drain = int(st.par_mode) == 3
+        pend = self._pending.get(i)
+        if pend is not None and pend["epoch"] != epoch:
+            await self._cancel_pending(i)
+            pend = None
+        if pend is None:
+            pend = self._pending[i] = {"epoch": epoch, "tasks": {}}
+        rt = self._runtime_for(i, rts)
+
+        def waiting():
+            return [int(t) for t in np.nonzero(tstate == T_WAIT)[0]]
+
+        def spawn_new_lane_tasks():
+            for t in waiting():
+                if int(tpark_kind[t]) == PARK_AWAIT_INSERT or \
+                        t in pend["tasks"]:
+                    continue
+                pc = int(tpark_arg[t])
+                task = self.compiled.source_tasks[pc]
+                if task is None:
+                    raise RuntimeError(f"instance {i} lane {t}: parked at "
+                                       f"pc={pc} with no source task")
+                lane_state = {"inserts": dict(state["inserts"]),
+                              "output": state["output"]}
+                pend["tasks"][t] = asyncio.create_task(
+                    self._run_thread_task(rt, i, pc, task,
+                                          int(tpark_kind[t]), lane_state))
+
+        def collect_done() -> bool:
+            got = False
+            for t, atask in sorted(pend["tasks"].items()):
+                if not atask.done():
+                    continue
+                del pend["tasks"][t]
+                snap, result_state, next_pc = atask.result()
+                self._apply_delta(state, snap, result_state)
+                tpc[t] = next_pc
+                tstate[t] = T_READY
+                got = True
+            return got
+
+        spawn_new_lane_tasks()
+        await asyncio.sleep(0)  # one loop pass: synchronous prefixes run
+
+        if drain:
+            # effects of ops that completed without suspending are kept
+            # (reference: the raced coroutine ran to that point before the
+            # cancel landed); everything still pending is cancelled
+            collect_done()
+            await self._cancel_pending(i)
+            fresh = encode_instance(
+                state["inserts"], self.cfg, output=state["output"],
+                pc=int(st.par_join), counters=np.asarray(st.counters),
+                rng=int(st.rng), steps=int(st.steps) + 1)
+            return fresh._replace(
+                status=jnp.int32(RUNNING),
+                par_epoch=st.par_epoch + 1)
+
+        resumed = collect_done()
+        for t in waiting():
+            if int(tpark_kind[t]) != PARK_AWAIT_INSERT:
+                continue
+            pc = int(tpark_arg[t])
+            task = self.compiled.source_tasks[pc]
+            if task is not None and \
+                    self._await_insert_ready(task, state["inserts"]):
+                tstate[t] = T_READY
+                tpc[t] = pc + 1
+                resumed = True
+        runnable = (tstate == T_READY) | (tstate == T_NEW)
+        if not resumed and not runnable.any():
+            if pend["tasks"]:
+                await asyncio.wait(pend["tasks"].values(),
+                                   return_when=asyncio.FIRST_COMPLETED)
+                collect_done()
+                runnable = (tstate == T_READY) | (tstate == T_NEW)
+            else:
+                self._pending.pop(i, None)
+                return st  # only await_insert lanes, none ready yet
+        if not pend["tasks"]:
+            self._pending.pop(i, None)
+        if not runnable.any():
+            return st
+        # the just-parked lane continues if its IO completed synchronously;
+        # otherwise the next runnable lane in cyclic order runs
+        if cur >= 0 and tstate[cur] == T_READY:
+            nxt = cur
+        else:
+            order = [(max(cur, -1) + 1 + k) % len(tstate)
+                     for k in range(len(tstate))]
+            nxt = next(t for t in order if runnable[t])
+        fresh = encode_instance(state["inserts"], self.cfg,
+                                output=state["output"], pc=int(tpc[nxt]),
+                                counters=np.asarray(st.counters),
+                                rng=int(st.rng), steps=int(st.steps) + 1)
+        return fresh._replace(
+            status=jnp.int32(RUNNING),
+            tpc=jnp.asarray(tpc), tstate=jnp.asarray(tstate),
+            tpark_kind=st.tpark_kind, tpark_arg=st.tpark_arg,
+            cur_tid=jnp.int32(nxt), par_mode=st.par_mode,
+            par_join=st.par_join, par_epoch=st.par_epoch)
 
     def _resume(self, st: VMInstance, state: dict, next_pc: int) -> VMInstance:
         fresh = encode_instance(
             state["inserts"], self.cfg, output=state["output"], pc=next_pc,
             counters=np.asarray(st.counters), rng=int(st.rng),
             steps=int(st.steps) + 1)
-        return fresh._replace(status=jnp.int32(RUNNING))
+        # thread lanes survive re-encode (a normal park can only happen
+        # outside a parallel block, but par_epoch monotonicity matters for
+        # the pending-IO cancel sweep)
+        return fresh._replace(status=jnp.int32(RUNNING),
+                              tpc=st.tpc, tstate=st.tstate,
+                              tpark_kind=st.tpark_kind,
+                              tpark_arg=st.tpark_arg,
+                              cur_tid=st.cur_tid, par_mode=st.par_mode,
+                              par_join=st.par_join, par_epoch=st.par_epoch)
 
     # ---- main loop ------------------------------------------------------------------
 
@@ -251,6 +442,15 @@ class DeviceRunner:
             batch = self._jitted(batch, inner_steps)
             status = np.asarray(batch.status)
             self.total_device_steps += inner_steps
+            if self._pending:
+                # cancel host IO of finished parallel blocks (a race won on
+                # device bumps par_epoch; the losers' chat/user_input must be
+                # cancelled — reference: pending.cancel() after FIRST_COMPLETED)
+                epochs = np.asarray(batch.par_epoch)
+                for i in list(self._pending):
+                    if int(epochs[i]) != self._pending[i]["epoch"] or \
+                            status[i] not in (RUNNING, PARKED):
+                        await self._cancel_pending(i)
             parked = np.nonzero(status == PARKED)[0]
             if len(parked) == 0:
                 if not (status == RUNNING).any():
@@ -287,6 +487,8 @@ class DeviceRunner:
                 await asyncio.sleep(0.05)
             else:
                 stalled_rounds = 0
+        for i in list(self._pending):
+            await self._cancel_pending(i)
         return batch
 
     def run(self, batch: VMInstance, **kw) -> VMInstance:
@@ -498,7 +700,8 @@ def run_program_on_device(filepath: str, args: list[str], io,
     program, _state = load(filepath)
     compiled = compile_program(program)
     if compiled.host_only:
-        # exact host engine (reason: parallel blocks / dynamic task lists)
+        # exact host engine (reason: dynamic task lists / recursive
+        # run_task / label-hash collisions)
         from ..core.runtime import async_main
         asyncio.run(async_main(filepath, list(args), io))
         return 0
@@ -506,5 +709,6 @@ def run_program_on_device(filepath: str, args: list[str], io,
     instances = runner.make_instances(batch, args)
     final = runner.run(instances)
     results = runner.results(final)
+    # .strip() is the reference's own final print (:2403) — byte parity
     print(results[0].output.strip())
     return 0

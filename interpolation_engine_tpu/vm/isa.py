@@ -45,8 +45,10 @@ OP_GOTO_MAP_LIT = 24  # goto_map whose keys and targets are all literal
 OP_PRINT_LIT = 25     # print of a literal (brace-free) text
 OP_SET_LN = 26        # set with a literal output name
 OP_MATH_RPN_LN = 27   # math RPN with a literal output name
+OP_PAR_BEGIN = 28     # spawn parallel_wait/race thread lanes (aux record)
+OP_THREAD_END = 29    # current thread's subtask body completed
 
-N_OPS = 28
+N_OPS = 30
 
 OP_NAMES = {
     v: k[3:].lower() for k, v in list(globals().items())

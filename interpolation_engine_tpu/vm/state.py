@@ -66,6 +66,18 @@ class VMInstance(NamedTuple):
     rng: jnp.ndarray           # uint32 — per-instance PRNG counter/key
     steps: jnp.ndarray         # int32 — executed task count (metrics)
     last_err: jnp.ndarray      # int32 — kernel error code that caused a park
+    # parallel_wait/race thread lanes (reference asyncio.gather/wait,
+    # interpolation_engine.py:1581-1626): one pc per live subtask, with the
+    # scheduler in vm/step.py switching lanes at park points exactly where
+    # the reference's event loop switches at awaits
+    tpc: jnp.ndarray           # int32[T] — per-thread saved/resume pc
+    tstate: jnp.ndarray        # int32[T] — T_FREE/T_READY/T_WAIT/T_DONE
+    tpark_kind: jnp.ndarray    # int32[T] — why a T_WAIT lane parked
+    tpark_arg: jnp.ndarray     # int32[T] — parked pc of a T_WAIT lane
+    cur_tid: jnp.ndarray       # int32 — executing lane, -1 outside a block
+    par_mode: jnp.ndarray      # int32 — 0 none / 1 wait / 2 race
+    par_join: jnp.ndarray      # int32 — pc after the parallel block
+    par_epoch: jnp.ndarray     # int32 — bumped at block end (host IO cancel)
 
 
 def fnv1a(buf: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
@@ -130,6 +142,14 @@ def fresh_instance(cfg: VMConfig, seed: int = 0) -> VMInstance:
         rng=jnp.uint32(seed),
         steps=jnp.int32(0),
         last_err=jnp.int32(0),
+        tpc=jnp.zeros((cfg.max_threads,), jnp.int32),
+        tstate=jnp.zeros((cfg.max_threads,), jnp.int32),
+        tpark_kind=jnp.zeros((cfg.max_threads,), jnp.int32),
+        tpark_arg=jnp.zeros((cfg.max_threads,), jnp.int32),
+        cur_tid=jnp.int32(-1),
+        par_mode=jnp.int32(0),
+        par_join=jnp.int32(0),
+        par_epoch=jnp.int32(0),
     )
 
 

@@ -27,7 +27,8 @@ from ..ops import math_kernel as mak
 from ..ops.interp_kernel import ERR_HOST, ERR_MISSING, ERR_OK
 from . import bytestr as bs
 from . import isa
-from .config import PARKED, RUNNING, DONE, PARK_HOST_OP, VMConfig
+from .config import (PARKED, RUNNING, DONE, PARK_HOST_OP, PARK_THREADS,
+                     T_FREE, T_NEW, T_READY, T_WAIT, T_DONE, VMConfig)
 from .state import (
     T_INT,
     T_LIST,
@@ -1255,6 +1256,133 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
                            park_kind=jnp.asarray(a, jnp.int32),
                            park_arg=st.pc)
 
+    # ---- parallel_wait / parallel_race thread lanes -----------------------
+    # Reference: asyncio.gather / wait(FIRST_COMPLETED) over subtask
+    # coroutines sharing one state (interpolation_engine.py:1581-1626).
+    # Device shape: one pc lane per subtask; exactly one lane executes at a
+    # time (asyncio is single-threaded). A lane runs until it parks; the
+    # host ring then decides — exactly like the event loop — whether its IO
+    # completes without suspending (lane continues, no switch observable)
+    # or truly blocks (the next lane runs). See driver._service_threads.
+
+    NT = cfg.max_threads
+
+    def _pick(st: VMInstance, mask) -> tuple:
+        """First lane in `mask`, cyclic from cur_tid+1 (FIFO whenever at
+        most one lane is runnable — the common case)."""
+        lane = jnp.arange(NT, dtype=jnp.int32)
+        start = jnp.where(st.cur_tid < 0, 0, st.cur_tid + 1)
+        rot = (start + lane) % NT
+        hit = mask[rot]
+        return jnp.any(hit), rot[jnp.argmax(hit)]
+
+    def h_par_begin(st, a, b, c):
+        K = axu(a + 1)
+        loop_lo, loop_hi = axu(a + 3), axu(a + 4)
+        lane = jnp.arange(NT, dtype=jnp.int32)
+        entries = _T["aux"][jnp.clip(a + 5 + lane, 0,
+                                     _T["aux"].shape[0] - 1)]
+        started = lane < K
+        # reset loop counters allocated inside the block: a raced (cancelled)
+        # lane may have left one mid-loop, and the reference purges raced
+        # sub-cursors so a re-entered block restarts its loops
+        li = jnp.arange(cfg.max_loops, dtype=jnp.int32)
+        counters = jnp.where((li >= loop_lo) & (li < loop_hi),
+                             0, st.counters)
+        # lane 0 runs first (asyncio schedules gathered tasks in order)
+        return st._replace(
+            tpc=jnp.where(started, entries, 0),
+            tstate=jnp.where(started, jnp.int32(T_NEW), jnp.int32(T_FREE)),
+            tpark_kind=jnp.zeros((NT,), jnp.int32),
+            tpark_arg=jnp.zeros((NT,), jnp.int32),
+            cur_tid=jnp.int32(0),
+            par_mode=axu(a),
+            par_join=axu(a + 2),
+            counters=counters,
+            pc=entries[0],
+            steps=st.steps + 1)
+
+    def _finish_block(st: VMInstance) -> VMInstance:
+        return st._replace(
+            pc=st.par_join, status=jnp.int32(RUNNING),
+            cur_tid=jnp.int32(-1), par_mode=jnp.int32(0),
+            par_join=jnp.int32(0),
+            tstate=jnp.zeros((NT,), jnp.int32),
+            par_epoch=st.par_epoch + 1)
+
+    def h_thread_end(st, a, b, c):
+        K = axu(a + 1)
+        lane = jnp.arange(NT, dtype=jnp.int32)
+        cur = jnp.clip(st.cur_tid, 0, NT - 1)
+        tstate = jnp.where(lane == cur, jnp.int32(T_DONE), st.tstate)
+        st = st._replace(tstate=tstate, steps=st.steps + 1)
+        started = lane < K
+        new_left = jnp.any(started & (tstate == T_NEW))
+        wait_left = jnp.any(started & (tstate == T_WAIT))
+        all_done = jnp.all(~started | (tstate == T_DONE))
+        wait_mode = st.par_mode == 1
+        # wait: done when every lane is; race/drain: done when every lane
+        # has at least STARTED its first slice (asyncio runs each gathered
+        # task once before the FIRST_COMPLETED waiter cancels the rest) —
+        # never-run lanes drain first, and lanes parked mid-drain get their
+        # host-side slice (then cancellation) from the ring
+        complete = jnp.where(wait_mode, all_done, ~new_left & ~wait_left)
+        drain = ~wait_mode & ~complete
+        run_mask = jnp.where(
+            wait_mode, (st.tstate == T_NEW) | (st.tstate == T_READY),
+            st.tstate == T_NEW)
+        any_run, nxt = _pick(st, run_mask)
+        # priority: complete > run next lane > park for the ring
+        st = st._replace(par_mode=jnp.where(
+            drain, jnp.int32(3), st.par_mode))
+        fin = _finish_block(st)
+        pick_pc = jnp.where(any_run, st.tpc[nxt], st.pc)
+        return st._replace(
+            pc=jnp.where(complete, fin.pc, pick_pc),
+            status=jnp.where(complete | any_run, jnp.int32(RUNNING),
+                             jnp.int32(PARKED)),
+            park_kind=jnp.where(complete | any_run, st.park_kind,
+                                jnp.int32(PARK_THREADS)),
+            park_arg=jnp.where(complete | any_run, st.park_arg, st.pc),
+            cur_tid=jnp.where(complete, jnp.int32(-1),
+                              jnp.where(any_run, nxt, jnp.int32(-1))),
+            par_mode=jnp.where(complete, 0, st.par_mode),
+            par_join=jnp.where(complete, 0, st.par_join),
+            tstate=jnp.where(complete, jnp.zeros((NT,), jnp.int32),
+                             st.tstate),
+            par_epoch=st.par_epoch + jnp.where(complete, 1, 0),
+        )
+
+    def thread_yield(st_prev: VMInstance, st_new: VMInstance) -> VMInstance:
+        """Post-step transform: a park raised while inside a parallel block
+        suspends the current LANE (T_WAIT) and parks the instance for the
+        ring — which resumes the same lane if its IO completes without
+        suspending (the asyncio synchronous-continuation illusion) or runs
+        the next lane if it truly blocks. While draining a finished race,
+        remaining never-run lanes are switched to directly on device."""
+        parked = ((st_new.status == PARKED) & (st_new.par_mode > 0)
+                  & (st_new.cur_tid >= 0)
+                  & (st_new.park_kind != PARK_THREADS))
+        lane = jnp.arange(NT, dtype=jnp.int32)
+        cur = jnp.clip(st_new.cur_tid, 0, NT - 1)
+        sel = parked & (lane == cur)
+        waited = st_new._replace(
+            tstate=jnp.where(sel, jnp.int32(T_WAIT), st_new.tstate),
+            tpark_kind=jnp.where(sel, st_new.park_kind, st_new.tpark_kind),
+            tpark_arg=jnp.where(sel, st_new.park_arg, st_new.tpark_arg),
+            tpc=jnp.where(sel, st_new.park_arg, st_new.tpc),
+        )
+        draining = waited.par_mode == 3
+        any_new, nxt = _pick(waited, waited.tstate == T_NEW)
+        switch = parked & draining & any_new
+        return waited._replace(
+            pc=jnp.where(switch, waited.tpc[nxt], waited.pc),
+            cur_tid=jnp.where(switch, nxt, waited.cur_tid),
+            status=jnp.where(switch, jnp.int32(RUNNING), waited.status),
+            park_kind=jnp.where(parked & ~switch, jnp.int32(PARK_THREADS),
+                                waited.park_kind),
+        )
+
     handlers = [h_park] * isa.N_OPS  # placeholder; filled below, masked by ops
     handlers[isa.OP_HALT] = h_halt
     handlers[isa.OP_PRINT] = h_print
@@ -1284,6 +1412,8 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
     handlers[isa.OP_MATH_RPN_LN] = make_h_math_rpn(True)
     handlers[isa.OP_GOTO_MAP_LIT] = h_goto_map_lit
     handlers[isa.OP_PRINT_LIT] = h_print_lit
+    handlers[isa.OP_PAR_BEGIN] = h_par_begin
+    handlers[isa.OP_THREAD_END] = h_thread_end
 
     if ops is not None:
         # specialize: opcodes this program can never execute fall back to
@@ -1291,6 +1421,10 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
         keep = set(ops) | {isa.OP_HALT, isa.OP_PARK}
         handlers = [h if i in keep else h_park
                     for i, h in enumerate(handlers)]
+
+    # thread-yield only exists in programs that can enter a parallel block
+    # (eager mode is unspecialized and always carries it — cheap)
+    has_threads = ops is None or isa.OP_PAR_BEGIN in ops
 
     def step(st: VMInstance, tables: Tables) -> VMInstance:
         _T["aux"] = tables.aux
@@ -1308,6 +1442,8 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
         branches = [(lambda st, a, b, c, h=h: h(st, a, b, c))
                     for h in handlers]
         new_st = jax.lax.switch(op, branches, st, instr[1], instr[2], instr[3])
+        if has_threads:
+            new_st = thread_yield(st, new_st)
         return jax.tree.map(lambda a, b: jnp.where(active, b, a), st, new_st)
 
     def run(st: VMInstance, tables: Tables, n_steps: int) -> VMInstance:
@@ -1344,8 +1480,11 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
                      jax.vmap(h, in_axes=(0, None, None, None))(bt, a, b, c))
                     for h in handlers
                 ]
-                return jax.lax.switch(op0, branches, batch,
-                                      instr0[1], instr0[2], instr0[3])
+                nb = jax.lax.switch(op0, branches, batch,
+                                    instr0[1], instr0[2], instr0[3])
+                if has_threads:
+                    nb = jax.vmap(thread_yield)(batch, nb)
+                return nb
 
             def mixed_path(batch):
                 return jax.vmap(step, in_axes=(0, None))(batch, tables)
@@ -1362,6 +1501,8 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
             _T["strtab"] = tables.strtab
             _T["labels"] = tables.labels
             new_st = handler(st, a, b, c)
+            if has_threads:
+                new_st = thread_yield(st, new_st)
             active = st.status == RUNNING
             return jax.tree.map(lambda x, y: jnp.where(active, y, x),
                                 st, new_st)

@@ -298,16 +298,21 @@ def test_device_matches_reference_examples(capsys):
     capsys.readouterr()
 
 
-def test_text_adventure_compiles_with_parallel_host_parks():
+def test_text_adventure_compiles_with_native_parallel():
     from interpolation_engine_tpu.vm import isa
     program, _ = load(f"{EXAMPLES}/text_adventure.json5")
     compiled = compile_program(program)
     assert not compiled.host_only
-    # the parallel_race block lowered to a host park
+    # the parallel_race block lowered to device thread lanes (2 subtasks),
+    # not a whole-block host park
+    ops = [int(compiled.code[pc][0]) for pc in range(compiled.n_instr)]
+    assert isa.OP_PAR_BEGIN in ops and isa.OP_THREAD_END in ops
+    assert compiled.needs_threads == 2
     park_tasks = [compiled.source_tasks[pc]
                   for pc in range(compiled.n_instr)
-                  if compiled.code[pc][0] == isa.OP_PARK]
-    assert any(t and t.get("cmd") == "parallel_race" for t in park_tasks)
+                  if ops[pc] == isa.OP_PARK]
+    assert not any(t and t.get("cmd") == "parallel_race"
+                   for t in park_tasks)
 
 
 def test_dynamic_task_list_is_host_only():
