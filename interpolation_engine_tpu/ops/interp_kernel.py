@@ -148,21 +148,19 @@ def general_interpolate(st: VMInstance, buf, length, cfg: VMConfig):
     """
     n = cfg.max_str
 
+    # the brace scan (fused Pallas kernel when IE_TPU_PALLAS selects it)
+    from .pallas_scan import brace_scan_one
+
     def cond(carry):
         buf, length, err, iters, done = carry
-        hidden = bs.escape_hidden_mask(buf, length)
-        has_open = bs.find(buf, length, bs.BRACE_OPEN, jnp.int32(0), hidden) != -1
-        return (err == ERR_OK) & ~done & has_open & (iters < cfg.max_subst)
+        n_open, _, _, _ = brace_scan_one(buf, length)
+        return (err == ERR_OK) & ~done & (n_open > 0) & \
+            (iters < cfg.max_subst)
 
     def body(carry):
         buf, length, err, iters, done = carry
-        hidden = bs.escape_hidden_mask(buf, length)
-        n_open = bs.count(buf, length, bs.BRACE_OPEN, hidden)
-        n_close = bs.count(buf, length, bs.BRACE_CLOSE, hidden)
+        n_open, n_close, outer_from, inner_to = brace_scan_one(buf, length)
         balanced = n_open == n_close
-
-        outer_from = bs.rfind(buf, length, bs.BRACE_OPEN, hidden)
-        inner_to = bs.find(buf, length, bs.BRACE_CLOSE, outer_from + 1, hidden)
         # no '}' after the last '{' (with balanced counts) → the reference
         # breaks out of its loop and returns the content as-is
         break_out = balanced & ((outer_from == -1) | (inner_to == -1))
@@ -203,17 +201,20 @@ import functools
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_interpolate(cfg: VMConfig):
+def _jitted_interpolate(cfg: VMConfig, pallas_mode):
     """Non-inlined jit of the kernel: instantiations inside the big step
     function become XLA calls that the compiler dedupes, cutting trace and
-    compile size substantially."""
+    compile size substantially. Keyed on the IE_TPU_PALLAS mode so a flag
+    flip can't serve a stale trace."""
     def f(st, buf, length):
         return _interpolate_impl(st, buf, length, cfg)
     return jax.jit(f, inline=False)
 
 
 def interpolate(st: VMInstance, buf, length, cfg: VMConfig) -> InterpResult:
-    return _jitted_interpolate(cfg)(st, buf, jnp.asarray(length, jnp.int32))
+    from .pallas_scan import pallas_mode
+    return _jitted_interpolate(cfg, pallas_mode())(
+        st, buf, jnp.asarray(length, jnp.int32))
 
 
 def _interpolate_impl(st: VMInstance, buf, length, cfg: VMConfig) -> InterpResult:

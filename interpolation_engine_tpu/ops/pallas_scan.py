@@ -17,13 +17,18 @@ reductions, iota via broadcasted_iota, min tile (32, 128) for int8 data —
 uint8 bytes ride in as int32 lanes to keep the tiling simple).
 
 The kernel is validated in interpreter mode against the jnp reference
-implementation (tests/test_pallas_scan.py) and enabled on real TPUs via
-IE_TPU_PALLAS=1.
+implementation (tests/test_pallas_scan.py), wired into the general VM's
+interpolation loop via ``brace_scan_one`` (ops/interp_kernel.py:
+general_interpolate), and selected by IE_TPU_PALLAS: ``1`` → real Mosaic
+kernel (TPU), ``interpret`` → Pallas interpreter (CPU differential tests),
+unset → the pure-jnp formulation. The whole-VM turbo engine (vm/turbo.py)
+is the flagship Pallas path; this kernel serves the general lax.switch VM.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +36,52 @@ import jax.numpy as jnp
 from ..vm.bytestr import BACKSLASH, BRACE_CLOSE, BRACE_OPEN
 
 _BLOCK = 256  # strings per grid step
+
+
+def pallas_mode():
+    """'tpu' (real kernel) / 'interpret' (CPU tests) / None (pure jnp).
+
+    Read at trace time — ops/interp_kernel.py keys its jit caches on this.
+    """
+    v = os.environ.get("IE_TPU_PALLAS", "")
+    if v in ("1", "tpu"):
+        return "tpu"
+    if v == "interpret":
+        return "interpret"
+    return None
+
+
+def brace_scan_one(buf, length):
+    """Per-lane brace scan → (n_open, n_close, outer_from, inner_to).
+
+    Pallas kernel when IE_TPU_PALLAS selects it (vmap batches the call into
+    the kernel grid), else the same quantities in pure jnp.
+    """
+    mode = pallas_mode()
+    if mode is None:
+        from ..vm import bytestr as bs
+        hidden = bs.escape_hidden_mask(buf, length)
+        n_open = bs.count(buf, length, BRACE_OPEN, hidden)
+        n_close = bs.count(buf, length, BRACE_CLOSE, hidden)
+        outer_from = bs.rfind(buf, length, BRACE_OPEN, hidden)
+        inner_to = bs.find(buf, length, BRACE_CLOSE, outer_from + 1, hidden)
+        return n_open, n_close, outer_from, inner_to
+    out = _scan_call_one(buf, jnp.asarray(length, jnp.int32),
+                         interpret=(mode == "interpret"))
+    return out[0], out[1], out[2], out[3]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _scan_call_one(buf, length, interpret: bool = False):
+    from jax.experimental import pallas as pl
+
+    MS = buf.shape[0]
+    out = pl.pallas_call(
+        _scan_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 4), jnp.int32),
+        interpret=interpret,
+    )(buf.astype(jnp.int32)[None, :], length.reshape(1, 1))
+    return out[0]
 
 
 def _scan_kernel(buf_ref, len_ref, out_ref):
