@@ -79,7 +79,7 @@ def test_analyzer_for_length_mismatch():
         "[{cmd:'for', name_list_map:{a: ['1','2'], b: ['x']}, tasks:["
         "{cmd:'print', text:'{a}{b}'}]}]")
     diags = analyze_program(program)
-    assert any("differing literal lengths" in d.message for d in diags)
+    assert any("differing lengths" in d.message for d in diags)
 
 
 def test_analyzer_type_resolution():
@@ -88,7 +88,7 @@ def test_analyzer_type_resolution():
         "output_name:'x'}]",
         inserts="{n: 5}")
     diags = analyze_program(program)
-    assert any("expected list" in d.message for d in diags)
+    assert any("must be an array" in d.message for d in diags)
 
 
 def test_analyzer_clean_program_has_no_diags():
@@ -96,6 +96,94 @@ def test_analyzer_clean_program_has_no_diags():
         "[{cmd:'list_index', list:['a','b'], index:2, output_name:'x'},"
         " {cmd:'print', text:'{x}'}]")
     assert analyze_program(program) == []
+
+
+def make_program_unvalidated(order_src, inserts="{}"):
+    """For analyzer checks on programs the hard validator already rejects
+    (the Rust reference's analyzer sees them; our loader would not) —
+    the analyzer must still diagnose them standalone."""
+    text = f"""
+    {{
+        default_state: {{order_index: 1, inserts: {inserts}}},
+        order: {order_src},
+        named_tasks: {{}},
+        save_states: {{}},
+    }}
+    """
+    return json5.loads(add_line_numbers(text))
+
+
+def test_analyzer_goto_unknown_label():
+    program = make_program_unvalidated(
+        "[{cmd:'goto', name:'@nowhere'}, {cmd:'label', name:'@here'}]")
+    diags = analyze_program(program)
+    assert any("goto target '@nowhere' not found" in d.message
+               for d in diags)
+
+
+def test_analyzer_labels_are_per_scope():
+    # the label lives inside the serial; the outer goto can't see it
+    program = make_program(
+        "[{cmd:'serial', tasks:[{cmd:'label', name:'@in'}]},"
+        " {cmd:'goto', name:'@in'}]")
+    diags = analyze_program(program)
+    assert any("goto target '@in' not found in order" in d.message
+               for d in diags)
+
+
+def test_analyzer_goto_map_literal_resolution():
+    program = make_program_unvalidated(
+        "[{cmd:'goto_map', text:'x', target_maps:[{'a':'@a'}]},"
+        " {cmd:'label', name:'@a'}]")
+    diags = analyze_program(program)
+    assert any("no matches for literal text 'x'" in d.message for d in diags)
+    # matching key but missing target label
+    program2 = make_program_unvalidated(
+        "[{cmd:'goto_map', text:'a', target_maps:[{'a':'@gone'}]}]")
+    diags2 = analyze_program(program2)
+    assert any("goto_map target '@gone' not found" in d.message
+               for d in diags2)
+
+
+def test_analyzer_field_type_checks():
+    program = make_program_unvalidated(
+        "[{cmd:'sleep', seconds:[1]},"
+        " {cmd:'list_index', list:['a'], index:'{i}', output_name:'x'}]",
+        inserts="{i: ['not','an','int']}")
+    diags = analyze_program(program)
+    assert any("'seconds' must be a number or string" in d.message
+               for d in diags)
+    assert any("'index' must be an int or string" in d.message
+               for d in diags)
+
+
+def test_analyzer_missing_fields_and_unknown_cmd():
+    program = make_program_unvalidated("[{cmd:'print'}, {cmd:'frobnicate'}]")
+    diags = analyze_program(program)
+    assert any("Missing required field 'text'" in d.message for d in diags)
+    assert any("Unknown cmd 'frobnicate'" in d.message for d in diags)
+
+
+def test_analyzer_unbalanced_interpolation():
+    program = make_program_unvalidated(
+        "[{cmd:'print', text:'open {brace'},"
+        " {cmd:'print', text:'empty {} key'}]")
+    diags = analyze_program(program)
+    assert any("uneven braces" in d.message for d in diags)
+    assert any("empty interpolation key" in d.message for d in diags)
+
+
+def test_analyzer_run_task_unknown():
+    program = make_program_unvalidated("[{cmd:'run_task', task_name:'ghost'}]")
+    diags = analyze_program(program)
+    assert any("unknown task 'ghost'" in d.message for d in diags)
+
+
+def test_analyzer_duplicate_label():
+    program = make_program_unvalidated(
+        "[{cmd:'label', name:'@x'}, {cmd:'label', name:'@x'}]")
+    diags = analyze_program(program)
+    assert any("not unique" in d.message for d in diags)
 
 
 def test_analyzer_accepts_reference_examples():
