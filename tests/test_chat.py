@@ -213,3 +213,43 @@ def test_out_of_context_modal():
             except (asyncio.CancelledError, RuntimeError):
                 pass
     run(go())
+
+
+def test_run_chat_device_filter_fast_path(monkeypatch):
+    """IE_TPU_DEVICE_FILTERS=1: raw stream + one device filter-kernel call
+    replaces the per-chunk Python state machines; outputs and visual text
+    match the incremental path at token granularity."""
+    monkeypatch.setenv("IE_TPU_DEVICE_FILTERS", "1")
+    text = ("<think>hidden plan</think>junk <output>first</output> mid "
+            "<output>second</output> tail")
+
+    async def go():
+        async with FakeSSEServer(lambda body: text, chunk_size=1) as server:
+            io = IOManager(BufferBackend())
+            outputs, visual = await run_chat(
+                io, messages=[{"role": "user", "content": "hi"}],
+                completion_args={"model": "m"},
+                start_str="<output>", stop_str="</output>", n_outputs=2,
+                hide_start_str="<think>", hide_stop_str="</think>",
+                api_url=server.url)
+            assert outputs == ["first", "second"]
+            assert visual == "1. first\n\n2. second"
+            assert io.output_text == visual
+
+    asyncio.run(go())
+    # same flow, flag off, 1-byte chunks — identical result
+    monkeypatch.delenv("IE_TPU_DEVICE_FILTERS")
+
+    async def ref():
+        async with FakeSSEServer(lambda body: text, chunk_size=1) as server:
+            io = IOManager(BufferBackend())
+            return await run_chat(
+                io, messages=[{"role": "user", "content": "hi"}],
+                completion_args={"model": "m"},
+                start_str="<output>", stop_str="</output>", n_outputs=2,
+                hide_start_str="<think>", hide_stop_str="</think>",
+                api_url=server.url)
+
+    ref_outputs, ref_visual = asyncio.run(ref())
+    assert ref_outputs == ["first", "second"]
+    assert ref_visual == "1. first\n\n2. second"
