@@ -107,10 +107,14 @@ def lookup(st: VMInstance, key_buf, key_len, cfg: VMConfig):
     # materialize string payloads into a working buffer
     str_buf, str_len = _arena_str(st, voff, vlen, cfg.max_str)
 
+    # stored strings longer than the working buffer can't be materialized
+    # without truncation → capacity park
+    str_over = found & (vtype == T_STR) & (vlen > cfg.max_str)
     err = jnp.where(is_special_time, ERR_HOST,
                     jnp.where(collide, ERR_HOST,
                               jnp.where(is_empty | ~found, ERR_MISSING,
-                                        ERR_OK)))
+                                        jnp.where(str_over, ERR_CAPACITY,
+                                                  ERR_OK))))
     return InterpResult(
         err=err.astype(jnp.int32),
         vtype=jnp.where(found, vtype, T_STR).astype(jnp.int32),
@@ -213,8 +217,12 @@ def _jitted_interpolate(cfg: VMConfig, pallas_mode):
 
 def interpolate(st: VMInstance, buf, length, cfg: VMConfig) -> InterpResult:
     from .pallas_scan import pallas_mode
-    return _jitted_interpolate(cfg, pallas_mode())(
+    res = _jitted_interpolate(cfg, pallas_mode())(
         st, buf, jnp.asarray(length, jnp.int32))
+    # a logical length beyond the working buffer means the template was
+    # truncated on load — capacity park (host rescue), never silent nulls
+    over = jnp.asarray(length, jnp.int32) > cfg.max_str
+    return res._replace(err=jnp.where(over, ERR_CAPACITY, res.err))
 
 
 def _interpolate_impl(st: VMInstance, buf, length, cfg: VMConfig) -> InterpResult:

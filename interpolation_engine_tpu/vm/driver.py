@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.context import CTX, ESCAPE, INSERT_START, INSERT_STOP
-from ..core.events import EVENTS, VM_PARK, VM_ROUND
+from ..core.events import EVENTS, VM_PARK, VM_ROUND, VM_STATS
 from ..core.executor import Runtime, execute_task
 from ..core.interp import InterpolationException
 from ..compiler.lower import CompiledProgram, compile_program
@@ -115,6 +115,10 @@ class DeviceRunner:
         # host IO pending per instance while its parallel-block lanes wait:
         # i → {"epoch": par_epoch when created, "tasks": {lane: asyncio.Task}}
         self._pending: dict = {}
+        # capacity-cliff telemetry (VERDICT W8): how often real programs
+        # blow the VMConfig limits and thrash the ring
+        self.ring_stats = {"rounds": 0, "parks": 0, "capacity_parks": 0,
+                           "parks_by_kind": {}, "ring_ms": 0.0}
 
     def _jitted(self, batch, inner_steps: int):
         if self.mode == "jit":
@@ -320,8 +324,10 @@ class DeviceRunner:
             await self._cancel_pending(i)
             pend = None
         if pend is None:
-            pend = self._pending[i] = {"epoch": epoch, "tasks": {}}
+            pend = self._pending[i] = {"epoch": epoch, "tasks": {},
+                                       "errors": {}, "failed": set()}
         rt = self._runtime_for(i, rts)
+        wait_mode = int(st.par_mode) == 1
 
         def waiting():
             return [int(t) for t in np.nonzero(tstate == T_WAIT)[0]]
@@ -329,7 +335,7 @@ class DeviceRunner:
         def spawn_new_lane_tasks():
             for t in waiting():
                 if int(tpark_kind[t]) == PARK_AWAIT_INSERT or \
-                        t in pend["tasks"]:
+                        t in pend["tasks"] or t in pend["failed"]:
                     continue
                 pc = int(tpark_arg[t])
                 task = self.compiled.source_tasks[pc]
@@ -342,12 +348,33 @@ class DeviceRunner:
                     self._run_thread_task(rt, i, pc, task,
                                           int(tpark_kind[t]), lane_state))
 
-        def collect_done() -> bool:
+        def collect_done(swallow_errors: bool = False) -> bool:
+            """Fold completed lane tasks into the live state.
+
+            Exceptions: wait mode propagates (asyncio.gather). Race mode
+            HOLDS them — the reference's wait(FIRST_COMPLETED)+done.pop()
+            is nondeterministic when a raise and a clean completion land in
+            the same slice burst; we deterministically let a clean winner
+            win (discarding losers' errors like its return_exceptions=True
+            sweep) and propagate only when no lane can still complete.
+            Drain mode swallows outright (the race already has a winner).
+            """
             got = False
             for t, atask in sorted(pend["tasks"].items()):
                 if not atask.done():
                     continue
                 del pend["tasks"][t]
+                if atask.exception() is not None:
+                    if swallow_errors:
+                        continue
+                    if not wait_mode and (tstate == T_NEW).any():
+                        # first-slice burst still in flight: a never-run
+                        # lane may still complete and win the race (the
+                        # reference's done.pop() could pick it); hold the
+                        # error until the burst resolves
+                        pend["errors"][t] = atask.exception()
+                        pend["failed"].add(t)
+                        continue
                 snap, result_state, next_pc = atask.result()
                 self._apply_delta(state, snap, result_state)
                 tpc[t] = next_pc
@@ -361,8 +388,10 @@ class DeviceRunner:
         if drain:
             # effects of ops that completed without suspending are kept
             # (reference: the raced coroutine ran to that point before the
-            # cancel landed); everything still pending is cancelled
-            collect_done()
+            # cancel landed); everything still pending is cancelled, and
+            # loser exceptions are discarded like the reference's
+            # return_exceptions=True sweep
+            collect_done(swallow_errors=True)
             await self._cancel_pending(i)
             fresh = encode_instance(
                 state["inserts"], self.cfg, output=state["output"],
@@ -385,6 +414,13 @@ class DeviceRunner:
                 resumed = True
         runnable = (tstate == T_READY) | (tstate == T_NEW)
         if not resumed and not runnable.any():
+            if pend["errors"]:
+                # the burst resolved with no clean winner — the raised
+                # lane IS the race's first-completed (reference: await
+                # first_task raises)
+                errs = pend["errors"]
+                await self._cancel_pending(i)
+                raise errs[min(errs)]
             if pend["tasks"]:
                 await asyncio.wait(pend["tasks"].values(),
                                    return_when=asyncio.FIRST_COMPLETED)
@@ -393,7 +429,7 @@ class DeviceRunner:
             else:
                 self._pending.pop(i, None)
                 return st  # only await_insert lanes, none ready yet
-        if not pend["tasks"]:
+        if not pend["tasks"] and not pend["errors"] and not pend["failed"]:
             self._pending.pop(i, None)
         if not runnable.any():
             return st
@@ -465,11 +501,26 @@ class DeviceRunner:
             serviced = await asyncio.gather(*[
                 self._service_instance(_index(sub, j), int(i), rts)
                 for j, i in enumerate(parked)])
-            resumed = sum(1 for st in serviced if int(st.status) != PARKED)
+            resumed = 0
+            kinds = np.asarray(sub.park_kind)
+            errs = np.asarray(sub.last_err)
+            from ..ops.interp_kernel import ERR_CAPACITY
+            for j, st_out in enumerate(serviced):
+                if int(st_out.status) == PARKED:
+                    continue
+                resumed += 1
+                self.ring_stats["parks"] += 1
+                k = int(kinds[j])
+                by = self.ring_stats["parks_by_kind"]
+                by[k] = by.get(k, 0) + 1
+                if int(errs[j]) == ERR_CAPACITY:
+                    self.ring_stats["capacity_parks"] += 1
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *serviced)
             batch = jax.tree.map(lambda b, s: b.at[idx].set(s),
                                  batch, stacked)
             ring_ms = (time.perf_counter() - t_ring) * 1e3
+            self.ring_stats["rounds"] = round_no + 1
+            self.ring_stats["ring_ms"] += ring_ms
             EVENTS.emit(VM_ROUND, round=round_no,
                         running=int((status == RUNNING).sum()),
                         parked=len(parked), resumed=resumed,
@@ -489,6 +540,13 @@ class DeviceRunner:
                 stalled_rounds = 0
         for i in list(self._pending):
             await self._cancel_pending(i)
+        s = self.ring_stats
+        EVENTS.emit(VM_STATS, rounds=s["rounds"], parks=s["parks"],
+                    capacity_parks=s["capacity_parks"],
+                    parks_by_kind={str(k): v
+                                   for k, v in s["parks_by_kind"].items()},
+                    ring_ms=round(s["ring_ms"], 3),
+                    device_steps=self.total_device_steps)
         return batch
 
     def run(self, batch: VMInstance, **kw) -> VMInstance:

@@ -177,7 +177,9 @@ def arena_write(st: VMInstance, buf, length, cfg: VMConfig):
     """
     from .bytestr import shift_right, _fit
     off = st.arena_top
-    overflow = off + length > cfg.arena_size
+    # a logical length beyond the physical payload would write nulls —
+    # that must surface as overflow (host rescue), never as truncation
+    overflow = (off + length > cfg.arena_size) | (length > buf.shape[0])
     safe_off = jnp.clip(off, 0, cfg.arena_size - 1)
     pos = positions(cfg.arena_size)
     shifted = shift_right(_fit(buf, cfg.arena_size), safe_off)

@@ -339,7 +339,9 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
         merged = jnp.where((pos >= st.out_len) & (pos < st.out_len + ln),
                            shifted, st.out).astype(jnp.uint8)
         total = st.out_len + ln
-        return merged, jnp.minimum(total, O), total > O
+        # ln beyond the payload buffer would append nulls → overflow
+        over = (total > O) | (ln > buf.shape[0])
+        return merged, jnp.minimum(total, O), over
 
     def make_h_set(literal_name: bool):
         def h_set(st, a, b, c):

@@ -46,7 +46,8 @@ def gen_program(rng: random.Random):
 
     for i in range(rng.randint(2, 8)):
         kind = rng.choice(["print", "set", "math", "join", "append", "index",
-                           "slice", "replace", "delete", "label_goto"])
+                           "slice", "replace", "delete", "label_goto",
+                           "parallel"])
         if kind == "print":
             tasks.append({"cmd": "print", "text": rand_text()})
         elif kind == "set":
@@ -90,6 +91,35 @@ def gen_program(rng: random.Random):
         elif kind == "delete":
             tasks.append({"cmd": "delete",
                           "wildcards": [rng.choice(["k2", "k3", "lb"])]})
+        elif kind == "parallel":
+            # compute-only subtasks: with no awaits, asyncio runs the
+            # gathered lanes to completion in order — the device thread
+            # lanes must match byte-for-byte. Lane bodies only reference
+            # keys that definitely exist: when one racing lane raises
+            # while another completes in the same slice burst, the
+            # REFERENCE itself is nondeterministic (done.pop() from a
+            # set, interpolation_engine.py:1603-1623) — nothing to
+            # differential-test there.
+            cmd = rng.choice(["parallel_wait", "parallel_race"])
+
+            def safe_text():
+                # literal-only: printing an int/list-valued key raises in
+                # the reference, which re-opens the burst nondeterminism
+                return "".join(rng.choices(["t ", "x", "=", "z", "| "],
+                                           k=rng.randint(0, 4)))
+
+            subtasks = []
+            for lane in range(rng.randint(1, 3)):
+                body = [{"cmd": "print", "text": safe_text()}]
+                if rng.random() < 0.6:
+                    written = rng.choice(keys)
+                    body.append({"cmd": "set", "item": safe_text(),
+                                 "output_name": written})
+                    if rng.random() < 0.5:
+                        body.append({"cmd": "print",
+                                     "text": "{" + written + "}"})
+                subtasks.append({"cmd": "serial", "tasks": body})
+            tasks.append({"cmd": cmd, "tasks": subtasks})
         elif kind == "label_goto":
             name = f"@L{n_labels}"
             n_labels += 1

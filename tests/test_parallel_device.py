@@ -301,3 +301,46 @@ def test_parallel_batch_lockstep(capsys):
         assert r.status == DONE
         assert f"x=u{i};" in r.output and f"y=v{i};" in r.output
         assert r.output.endswith("z")
+
+
+def test_ring_capacity_telemetry(capsys):
+    """VERDICT W8: the driver measures how often instances blow VMConfig
+    capacities and thrash the ring. A string larger than max_str parks
+    with ERR_CAPACITY, is rescued on host byte-exactly, and shows up in
+    ring_stats / the VM_STATS event."""
+    from interpolation_engine_tpu.core.events import EVENTS
+
+    big = "x" * 300  # > CFG.max_str working buffer
+    src = """
+    {
+        default_state: {order_index: 1, inserts: {}},
+        order: [
+            {cmd:'set', item:'%s', output_name:'v'},
+            {cmd:'print', text:'[{v}]'},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """ % big
+    compiled = compile_src(src)
+    runner = DeviceRunner(compiled, CFG)
+    before = EVENTS.counters.get("vm_stats", 0)
+    final = runner.run(runner.make_instances(1), inner_steps=8,
+                       max_rounds=60)
+    r = runner.results(final)[0]
+    capsys.readouterr()
+    assert r.status == DONE
+    assert r.output == f"[{big}]"
+    assert runner.ring_stats["capacity_parks"] >= 1
+    assert runner.ring_stats["parks"] >= runner.ring_stats["capacity_parks"]
+    assert runner.ring_stats["rounds"] >= 1
+    assert EVENTS.counters.get("vm_stats", 0) == before + 1
+
+
+def test_ring_stats_clean_program(capsys):
+    """A program within capacity reports zero capacity parks — the
+    telemetry distinguishes IO parks from capacity thrash."""
+    r, runner = run_device(WAIT_SRC, ["one", "two"])
+    capsys.readouterr()
+    assert r.status == DONE
+    assert runner.ring_stats["capacity_parks"] == 0
+    assert runner.ring_stats["parks"] >= 2  # the two user_inputs
