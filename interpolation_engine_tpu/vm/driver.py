@@ -763,10 +763,36 @@ def run_program_on_device(filepath: str, args: list[str], io,
         from ..core.runtime import async_main
         asyncio.run(async_main(filepath, list(args), io))
         return 0
-    runner = DeviceRunner(compiled, io_factory=lambda i: io)
-    instances = runner.make_instances(batch, args)
-    final = runner.run(instances)
-    results = runner.results(final)
+    results = None
+    turbo_env = os.environ.get("IE_TPU_TURBO", "")
+    # the whole-program Pallas kernel pays a multi-minute TPU compile —
+    # worth it for big batches (or when explicitly requested), not for a
+    # single interactive instance
+    want_turbo = turbo_env == "1" or (turbo_env != "0" and batch >= 256)
+    if want_turbo:
+        try:
+            from ..compiler.turbo import NotTurbo
+            from .turbo import TurboConfig, TurboEngine
+            on_tpu = jax.devices()[0].platform == "tpu"
+            # off-TPU the kernel runs in the Pallas interpreter (Python):
+            # size the tile to the batch or small CLI runs crawl
+            tcfg = None if on_tpu else TurboConfig(
+                tile=max(8, min(64, batch)), k_steps=16)
+            engine = TurboEngine(compiled, tcfg, io_factory=lambda i: io)
+            tb = engine.run(engine.make_batch(batch, list(args)))
+            results = engine.results(tb, batch)
+        except NotTurbo:
+            results = None
+        except Exception as e:  # Mosaic/compile failures → general engine
+            import sys as _sys
+            print(f"turbo engine unavailable ({type(e).__name__}); "
+                  f"using the general device VM", file=_sys.stderr)
+            results = None
+    if results is None:
+        runner = DeviceRunner(compiled, io_factory=lambda i: io)
+        instances = runner.make_instances(batch, args)
+        final = runner.run(instances)
+        results = runner.results(final)
     # .strip() is the reference's own final print (:2403) — byte parity
     print(results[0].output.strip())
     return 0

@@ -562,9 +562,22 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
                 parkm = parkm | (_rd(ts, cols.stype(tmpl[0].slot)) != T_STR)
             out_len = _rd(ts, C_OUTLEN)
             pos_o = _iota(t, ow)
-            padded = jnp.pad(vbuf, ((0, 0), (0, max(ow - w, 0))))[:, :ow]
-            shifted = jnp.take_along_axis(
-                padded, jnp.clip(pos_o - out_len, 0, ow - 1), axis=1)
+            # Mosaic gather constraints: indices shape == source shape AND
+            # the gather dim must fit one vreg (128 lanes). Shift the
+            # payload into each 128-lane chunk of the output with a
+            # same-shape gather from the 128-wide (padded) payload; bytes
+            # past vln are masked by the range select below.
+            PW = 128
+            src = vbuf if w >= PW else jnp.pad(vbuf,
+                                               ((0, 0), (0, PW - w)))
+            pos_c = _iota(t, PW)
+            chunks = []
+            for c in range(0, ow, PW):
+                idx = jnp.clip(pos_c + c - out_len, 0, PW - 1)
+                g = jnp.take_along_axis(src, idx, axis=1)
+                chunks.append(g[:, :min(PW, ow - c)])
+            shifted = (jnp.concatenate(chunks, axis=1)
+                       if len(chunks) > 1 else chunks[0])
             new_out = jnp.where(
                 (pos_o >= out_len) & (pos_o < out_len + vln),
                 shifted, ts.out)
