@@ -210,10 +210,32 @@ class DeviceRunner:
                                          self.compiled.program.get(
                                              "named_tasks", {})))
 
+    def _for_head_park(self, pc: int):
+        """(exit_pc, loop_id) when pc is an OP_FOR_HEAD — a park there
+        makes the host run the WHOLE remaining loop, so the device must
+        resume at the loop exit with the counter reset, and the host needs
+        the current counter as a resume cursor (executor.py:413-423)."""
+        from . import isa as _isa
+        row = self.compiled.code[pc]
+        if int(row[0]) == _isa.OP_FOR_HEAD:
+            base = int(row[1])
+            return (int(self.compiled.aux[base + 1]),
+                    int(self.compiled.aux[base]))
+        return None, None
+
     async def _exec_parked(self, rt: Runtime, state: dict, pc: int,
-                           task: dict, i: int, kind: int) -> int:
+                           task: dict, i: int, kind: int,
+                           counters=None) -> int:
         """Execute one parked task on the host against `state`; return the
         next pc (goto results resolved through the parked pc's scope)."""
+        exit_pc, loop_id = self._for_head_park(pc)
+        if exit_pc is not None and counters is not None:
+            c = int(counters[loop_id])
+            if c >= 1:
+                # mid-loop head park: hand the host the reference-format
+                # cursor so it resumes at iteration c, not from scratch
+                label = task.get("traceback_label", "?")
+                state[f"order_index/{label}/counter"] = c
         # device-side prints only touched the instance's output buffer; sync
         # the IO backend so agent payloads carry the current screen content
         backend = getattr(rt.io, "backend", None)
@@ -224,6 +246,10 @@ class DeviceRunner:
         result = await execute_task(rt, state, task,
                                     task.get("traceback_label", "?"))
         if result is None:
+            if exit_pc is not None:
+                if counters is not None:
+                    counters[loop_id] = 0  # the host completed the loop
+                return exit_pc
             return pc + 1
         if isinstance(result, dict) and "goto_target" in result:
             target = result["goto_target"]
@@ -257,19 +283,29 @@ class DeviceRunner:
         if task is None:
             raise RuntimeError(f"instance {i}: parked at pc={pc} with no "
                                f"source task")
-        next_pc = await self._exec_parked(rt, state, pc, task, i, kind)
-        return self._resume(st, state, next_pc)
+        counters = np.asarray(st.counters).copy()
+        next_pc = await self._exec_parked(rt, state, pc, task, i, kind,
+                                          counters)
+        return self._resume(st, state, next_pc, counters=counters)
 
     # ---- parallel-block thread servicing -----------------------------------
 
     async def _run_thread_task(self, rt: Runtime, i: int, pc: int,
-                               task: dict, kind: int, state: dict):
+                               task: dict, kind: int, state: dict,
+                               counters=None):
         """One waiting lane's host IO, on its own copy of the instance
         state (the write-back happens at completion — exactly when the
-        reference's await resolves and its coroutine's writes land)."""
+        reference's await resolves and its coroutine's writes land).
+        Loop-counter mutations (a for-head park whose whole loop ran on
+        host) come back as an explicit write-set for conflict-free merge."""
         snap = {"inserts": dict(state["inserts"]), "output": state["output"]}
-        next_pc = await self._exec_parked(rt, state, pc, task, i, kind)
-        return snap, state, next_pc
+        c0 = None if counters is None else np.asarray(counters).copy()
+        next_pc = await self._exec_parked(rt, state, pc, task, i, kind, c0)
+        counter_writes = {}
+        if c0 is not None:
+            counter_writes = {l: int(v) for l, v in enumerate(c0)
+                              if int(v) != int(counters[l])}
+        return snap, state, next_pc, counter_writes
 
     @staticmethod
     def _apply_delta(cur: dict, snap: dict, result: dict) -> None:
@@ -315,6 +351,7 @@ class DeviceRunner:
         tpc = np.asarray(st.tpc).copy()
         tpark_kind = np.asarray(st.tpark_kind)
         tpark_arg = np.asarray(st.tpark_arg)
+        counters = np.asarray(st.counters).copy()
         state = {"inserts": decode_inserts(st), "output": decode_output(st)}
         epoch = int(st.par_epoch)
         cur = int(st.cur_tid)
@@ -346,7 +383,8 @@ class DeviceRunner:
                               "output": state["output"]}
                 pend["tasks"][t] = asyncio.create_task(
                     self._run_thread_task(rt, i, pc, task,
-                                          int(tpark_kind[t]), lane_state))
+                                          int(tpark_kind[t]), lane_state,
+                                          counters))
 
         def collect_done(swallow_errors: bool = False) -> bool:
             """Fold completed lane tasks into the live state.
@@ -375,8 +413,10 @@ class DeviceRunner:
                         pend["errors"][t] = atask.exception()
                         pend["failed"].add(t)
                         continue
-                snap, result_state, next_pc = atask.result()
+                snap, result_state, next_pc, cwrites = atask.result()
                 self._apply_delta(state, snap, result_state)
+                for l, v in cwrites.items():
+                    counters[l] = v
                 tpc[t] = next_pc
                 tstate[t] = T_READY
                 got = True
@@ -395,7 +435,7 @@ class DeviceRunner:
             await self._cancel_pending(i)
             fresh = encode_instance(
                 state["inserts"], self.cfg, output=state["output"],
-                pc=int(st.par_join), counters=np.asarray(st.counters),
+                pc=int(st.par_join), counters=counters,
                 rng=int(st.rng), steps=int(st.steps) + 1)
             return fresh._replace(
                 status=jnp.int32(RUNNING),
@@ -443,7 +483,7 @@ class DeviceRunner:
             nxt = next(t for t in order if runnable[t])
         fresh = encode_instance(state["inserts"], self.cfg,
                                 output=state["output"], pc=int(tpc[nxt]),
-                                counters=np.asarray(st.counters),
+                                counters=counters,
                                 rng=int(st.rng), steps=int(st.steps) + 1)
         return fresh._replace(
             status=jnp.int32(RUNNING),
@@ -452,11 +492,13 @@ class DeviceRunner:
             cur_tid=jnp.int32(nxt), par_mode=st.par_mode,
             par_join=st.par_join, par_epoch=st.par_epoch)
 
-    def _resume(self, st: VMInstance, state: dict, next_pc: int) -> VMInstance:
+    def _resume(self, st: VMInstance, state: dict, next_pc: int,
+                counters=None) -> VMInstance:
         fresh = encode_instance(
             state["inserts"], self.cfg, output=state["output"], pc=next_pc,
-            counters=np.asarray(st.counters), rng=int(st.rng),
-            steps=int(st.steps) + 1)
+            counters=(np.asarray(st.counters) if counters is None
+                      else counters),
+            rng=int(st.rng), steps=int(st.steps) + 1)
         # thread lanes survive re-encode (a normal park can only happen
         # outside a parallel block, but par_epoch monotonicity matters for
         # the pending-IO cancel sweep)

@@ -381,3 +381,51 @@ def test_batched_ring_services_many_parks_at_once(capsys):
     assert ring_rounds[0]["parked"] == 32
     assert ring_rounds[0]["resumed"] == 32
     assert ring_rounds[0]["ring_ms"] >= 0
+
+
+def test_for_head_park_runs_whole_loop_on_host(capsys):
+    """>MAX_PAIRS name_list_map parks at the for HEAD; the host executes
+    the WHOLE loop, and the device resumes at the loop exit (not the body)
+    with the counter reset — regression for a runaway re-entry bug."""
+    src = """
+    { default_state: {order_index: 1, inserts: {}},
+      order: [
+        {cmd:'for', name_list_map: {a:['1','2'], b:['x','y'], c:['p','q'],
+                                    d:['m','n'], e:['u','v']}, tasks: [
+          {cmd:'print', text:'[{a}{b}{c}{d}{e}]'},
+        ]},
+        {cmd:'print', text:'end'},
+      ], named_tasks: {}, save_states: {} }
+    """
+    runner = DeviceRunner(compile_src(src), CFG)
+    final = runner.run(runner.make_instances(1), inner_steps=8,
+                       max_rounds=60)
+    r = runner.results(final)[0]
+    capsys.readouterr()
+    assert r.status == DONE
+    assert r.output == "[1xpmu][2yqnv]end"
+    import numpy as np
+    assert (np.asarray(final.counters) == 0).all()
+
+
+def test_for_head_park_mid_loop_resumes_at_counter(capsys):
+    """A head park at iteration 2 (oversized element) hands the host the
+    counter cursor: earlier iterations are NOT re-executed."""
+    big = "B" * 300  # > CFG.max_str → iteration-2 var set parks at the head
+    src = """
+    { default_state: {order_index: 1, inserts: {}},
+      order: [
+        {cmd:'for', name_list_map: {v:['ok', '%s', 'ok2']}, tasks: [
+          {cmd:'print', text:'<{v}>'},
+        ]},
+        {cmd:'print', text:'end'},
+      ], named_tasks: {}, save_states: {} }
+    """ % big
+    runner = DeviceRunner(compile_src(src), CFG)
+    final = runner.run(runner.make_instances(1), inner_steps=8,
+                       max_rounds=60)
+    r = runner.results(final)[0]
+    capsys.readouterr()
+    assert r.status == DONE
+    assert r.output == f"<ok><{big}><ok2>end"
+    assert r.output.count("<ok>") == 1  # iteration 1 ran exactly once
