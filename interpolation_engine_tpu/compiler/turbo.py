@@ -145,8 +145,27 @@ class IDelete:
     slots: tuple
 
 
+@dataclass(frozen=True)
+class IForHead:
+    """for head over static literal lists: entering sets counter:=1; each
+    visit writes the loop-var slots with element counter-1 of each list;
+    counter > n exits (counter:=0, jump exit_pc). Matches the general
+    engine's OP_FOR_HEAD (vm/step.py h_for_head)."""
+    loop_id: int             # compiled loop index (register col via _Cols)
+    n: int                   # static trip count
+    exit_pc: int
+    pairs: tuple             # ((slot, elems), ...); elems of
+    #                          ('int', v) | ('str', bytes)
+
+
+@dataclass(frozen=True)
+class IForNext:
+    loop_id: int
+    head_pc: int
+
+
 Instr = Union[IHalt, INop, IGoto, IPark, IClear, ISet, IMath, IPrint,
-              IGotoMap, IDelete]
+              IGotoMap, IDelete, IForHead, IForNext]
 
 
 @dataclass
@@ -218,6 +237,10 @@ def _infer_slot_kinds(plan: "TurboPlan") -> list:
     for pc, ins in enumerate(plan.instrs):
         if isinstance(ins, IMath):
             join(ins.out_slot, K_INT)
+        elif isinstance(ins, IForHead):
+            for slot, elems in ins.pairs:
+                for kind, _v in elems:
+                    join(slot, K_INT if kind == "int" else K_STR)
         elif isinstance(ins, ISet):
             if ins.src[0] == "int":
                 join(ins.out_slot, K_INT)
@@ -304,10 +327,21 @@ def _collect_keys(program: dict) -> list:
             raise NotTurbo("dynamic task list")
         for t in _walk_tasks(root):
             cmd = t.get("cmd")
-            if cmd in _LIST_PRODUCERS or cmd in ("list_index", "for",
+            if cmd in _LIST_PRODUCERS or cmd in ("list_index",
                                                  "random_choice"):
                 # list values (or list-consuming ops) don't fit the slot model
                 raise NotTurbo(f"{cmd} needs list values")
+            if cmd == "for":
+                # literal name_list_map over literal int/str lists is fine:
+                # loop-var slots only ever hold scalar elements. A dynamic
+                # list would itself need a slot — not in the model.
+                for name, lst in (t.get("name_list_map") or {}).items():
+                    if not isinstance(lst, list):
+                        raise NotTurbo("for over a dynamic list")
+                    for e in lst:
+                        if isinstance(e, bool) or not isinstance(e,
+                                                                 (int, str)):
+                            raise NotTurbo("for element type")
             if cmd == "chat" and (t.get("n_outputs", 1) != 1
                                   or "choices_list" in t):
                 raise NotTurbo("chat may store a list")
@@ -539,8 +573,46 @@ def _plan_instr(plan, compiled, pc, op, a, b, task, slot_for, park):
 
     # replace_map, unescape, random_choice, list ops, for — exact host
     # execution per lane (leaf tasks resume at pc+1)
-    if op in (isa.OP_FOR_HEAD, isa.OP_FOR_NEXT):
-        raise NotTurbo("for loops not yet on the turbo path")
+    if op == isa.OP_FOR_HEAD:
+        # static literal loops run natively; anything else parks — the
+        # host then executes the WHOLE loop and the ring resumes at the
+        # exit pc (vm/turbo.py service handles for-head parks)
+        loop_id = int(compiled.aux[a])
+        exit_pc = int(compiled.aux[a + 1])
+        nlm = (task or {}).get("name_list_map") or {}
+        pairs = []
+        lengths = set()
+
+        def plan_pair(name, lst):
+            if not isinstance(name, str) or "{" in name or \
+                    ESCAPE in name or not isinstance(lst, list):
+                return False
+            if any(isinstance(e, bool) or not isinstance(e, (int, str))
+                   for e in lst):
+                return False
+            elems = tuple(("int", e) if isinstance(e, int)
+                          else ("str", e.encode("utf-8")) for e in lst)
+            pairs.append((slot_for(name), elems))
+            lengths.add(len(lst))
+            return True
+
+        supported = bool(nlm) and all(
+            plan_pair(name, lst) for name, lst in nlm.items())
+        if supported and len(lengths) > 1:
+            # differing lengths: the reference raises at runtime — the
+            # exact AssertionError comes from the host executor
+            return park(pc)
+        if supported:
+            n = lengths.pop() if lengths else 0
+            if n == 0:
+                return IGoto(exit_pc)
+            if n > 32 or n * max(len(pairs), 1) > 96:
+                return park(pc)  # branch would dwarf the kernel
+            return IForHead(loop_id=loop_id, n=n, exit_pc=exit_pc,
+                            pairs=tuple(pairs))
+        return park(pc)
+    if op == isa.OP_FOR_NEXT:
+        return IForNext(loop_id=b, head_pc=a)
     if op in (isa.OP_PAR_BEGIN, isa.OP_THREAD_END):
         # thread lanes live in the general VM (vm/step.py scheduler); a
         # turbo park here would lose the lane bookkeeping

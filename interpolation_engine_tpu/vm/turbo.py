@@ -49,6 +49,8 @@ from ..compiler.turbo import (
     Hole,
     IClear,
     IDelete,
+    IForHead,
+    IForNext,
     IGoto,
     IGotoMap,
     IHalt,
@@ -79,15 +81,18 @@ class TurboConfig:
 
 
 class _Cols:
-    """Register-column layout for S slots (4 control + 3S slot scalars),
-    plus the plan's slot-kind table: byte planes exist only for slots that
-    can ever hold a string (kind 'str'/'mix'); 'int' and 'none' slots are
-    register-only, and branch builders skip their dead paths entirely."""
+    """Register-column layout for S slots (4 control + 3S slot scalars +
+    n_loops for-loop counters), plus the plan's slot-kind table: byte
+    planes exist only for slots that can ever hold a string (kind
+    'str'/'mix'); 'int' and 'none' slots are register-only, and branch
+    builders skip their dead paths entirely."""
 
-    def __init__(self, S: int, kinds=None):
-        if C_BASE + 3 * S > REGW:
-            raise NotTurbo(f"{S} slots exceed the register block")
+    def __init__(self, S: int, kinds=None, n_loops: int = 0):
+        if C_BASE + 3 * S + n_loops > REGW:
+            raise NotTurbo(f"{S} slots + {n_loops} loops exceed the "
+                           f"register block")
         self.S = S
+        self.n_loops = n_loops
         self.kinds = list(kinds) if kinds else ["mix"] * S
         if len(self.kinds) < S:
             self.kinds += ["mix"] * (S - len(self.kinds))
@@ -105,6 +110,9 @@ class _Cols:
 
     def slen(self, s: int) -> int:
         return C_BASE + 2 * self.S + s
+
+    def loop(self, loop_id: int) -> int:
+        return C_BASE + 3 * self.S + min(loop_id, max(self.n_loops - 1, 0))
 
     def kind(self, s: int) -> str:
         return self.kinds[s]
@@ -164,7 +172,12 @@ class _LitTable:
 
     def collect(self, instrs) -> None:
         for ins in instrs:
-            if isinstance(ins, ISet):
+            if isinstance(ins, IForHead):
+                for _slot, elems in ins.pairs:
+                    for kind, v in elems:
+                        if kind == "str":
+                            self.register(v)
+            elif isinstance(ins, ISet):
                 if ins.src[0] == "str":
                     self.register(ins.src[1])
                 elif ins.src[0] == "tmpl":
@@ -616,6 +629,73 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
             return ts._replace(regs=regs)
         return br
 
+    if isinstance(instr, IForHead):
+        pairs, n, exit_pc = instr.pairs, instr.n, instr.exit_pc
+        lc = cols.loop(instr.loop_id)
+
+        def br(ts):
+            act = active_of(ts)
+            counter = _rd(ts, lc)
+            cur = jnp.where(counter == 0, 1, counter)   # entering → iter 1
+            exiting = cur > n
+            k = cur - 1                                  # 0-based element
+            writes = [(lc, jnp.where(exiting, 0, cur))]
+            strs = None
+            strs_l = list(ts.strs)
+            strs_dirty = False
+            zero_i = _rd(ts, C_PC) * 0
+            for slot, elems in pairs:
+                vt = zero_i + T_INT
+                vi = zero_i
+                vln = zero_i
+                vbuf = None
+                for j, (kind, v) in enumerate(elems):
+                    sel = k == j
+                    if kind == "int":
+                        vi = jnp.where(sel, v, vi)
+                    else:
+                        ebuf, eln = lit(v)
+                        vt = jnp.where(sel, T_STR, vt)
+                        vln = jnp.where(sel, eln, vln)
+                        if vbuf is None:
+                            vbuf = ebuf
+                        else:
+                            vbuf = jnp.where(sel, ebuf, vbuf)
+                # keep old values on exiting lanes (loop vars persist past
+                # the loop, holding the LAST iteration's values — matching
+                # the host, which leaves the final set in the store)
+                old_t = _rd(ts, cols.stype(slot))
+                old_i = _rd(ts, cols.sint(slot))
+                old_l = _rd(ts, cols.slen(slot))
+                writes += [
+                    (cols.stype(slot), jnp.where(exiting, old_t, vt)),
+                    (cols.sint(slot), jnp.where(exiting, old_i, vi)),
+                    (cols.slen(slot), jnp.where(exiting, old_l, vln)),
+                ]
+                if vbuf is not None and slot in cols.str_row:
+                    row = cols.str_row[slot]
+                    lane_ok = act & ~exiting
+                    strs_l[row] = jnp.where(lane_ok, vbuf, strs_l[row])
+                    strs_dirty = True
+            if strs_dirty:
+                strs = tuple(strs_l)
+            nope = act & (act != act)
+            jump = jnp.where(exiting, exit_pc, pc + 1)
+            return _advance(ts, cols, act, act, nope, jump,
+                            writes=writes, strs=strs)
+        return br
+
+    if isinstance(instr, IForNext):
+        lc = cols.loop(instr.loop_id)
+        head_pc = instr.head_pc
+
+        def br(ts):
+            act = active_of(ts)
+            nope = act & (act != act)
+            return _advance(ts, cols, act, act, nope, head_pc,
+                            writes=[(lc, _rd(ts, lc) + 1)])
+        return br
+
     raise NotTurbo(f"no branch builder for {type(instr).__name__}")
 
 
@@ -631,7 +711,7 @@ def build_step_fn(plan: TurboPlan, tcfg: TurboConfig, n: int,
 
     S = max(plan.n_slots, 1)
     P = plan.n_instr
-    cols = _Cols(S, plan.slot_kinds)
+    cols = _Cols(S, plan.slot_kinds, plan.compiled.n_loops)
     R = cols.n_rows
     t, w, ow, K = tcfg.tile, tcfg.width, tcfg.out_width, tcfg.k_steps
     assert n % t == 0
@@ -731,7 +811,8 @@ class TurboEngine:
         self.plan = plan or plan_turbo(compiled)
         self.compiled = compiled
         self.tcfg = tcfg or TurboConfig()
-        self.cols = _Cols(max(self.plan.n_slots, 1), self.plan.slot_kinds)
+        self.cols = _Cols(max(self.plan.n_slots, 1), self.plan.slot_kinds,
+                          compiled.n_loops)
         self.io_factory = io_factory or (lambda i: IOManager(BufferBackend()))
         if interpret is None:
             interpret = jax.devices()[0].platform not in ("tpu",)
@@ -891,11 +972,11 @@ class TurboEngine:
         result = await execute_task(rt, state, task,
                                     task.get("traceback_label", "?"))
         if result is None:
-            next_pc = pc + 1
+            next_pc = self._after_pc(pc)
         elif isinstance(result, dict) and "goto_target" in result:
             target = result["goto_target"]
             if target == "CONTINUE":
-                next_pc = pc + 1
+                next_pc = self._after_pc(pc)
             else:
                 scope = self.compiled.scope_of[pc]
                 key = (scope, target)
@@ -917,9 +998,20 @@ class TurboEngine:
             sub["regs"][j, C_PC] = self.plan.n_instr - 1
         return True
 
+    def _after_pc(self, pc: int) -> int:
+        """Resume pc after the host executed the task at `pc`: a for head
+        means the host ran the WHOLE loop — skip to the loop exit instead
+        of falling into the (already executed) body."""
+        from ..vm import isa as _isa
+        row = self.compiled.code[pc]
+        if int(row[0]) == _isa.OP_FOR_HEAD:
+            return int(self.compiled.aux[int(row[1]) + 1])
+        return pc + 1
+
     async def _finish_on_host(self, rt, state: dict, pc: int) -> dict:
         """Execute the remaining flat instructions on the host (the table is
-        flat — serial bodies inline, for/parallel are whole-task rows)."""
+        flat — serial bodies inline, for bodies are skipped after their
+        head row executes the whole loop)."""
         from ..core.executor import execute_task
         from ..vm import isa as _isa
         steps_left = 100_000
@@ -936,7 +1028,7 @@ class TurboEngine:
             result = await execute_task(rt, state, task,
                                         task.get("traceback_label", "?"))
             if result is None:
-                pc += 1
+                pc = self._after_pc(pc)
             elif isinstance(result, dict) and "goto_target" in result:
                 target = result["goto_target"]
                 if target == "CONTINUE":
@@ -955,6 +1047,11 @@ class TurboEngine:
     def _write_row(self, sub: dict, j: int, state: dict, pc: int,
                    steps: int):
         row = self._encode_row(state["inserts"], state["output"], pc, steps)
+        # loop counters live outside the reference state dict — a leaf park
+        # inside a for body must not reset the loop on re-encode
+        lc0 = C_BASE + 3 * self.cols.S
+        lc1 = lc0 + self.cols.n_loops
+        row["regs"][lc0:lc1] = sub["regs"][j, lc0:lc1]
         sub["regs"][j] = row["regs"]
         sub["sbuf"][:, j, :] = row["sbuf"]
         sub["out"][j] = row["out"]

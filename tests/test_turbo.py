@@ -292,10 +292,10 @@ def test_not_turbo_shapes():
         ("""{default_state: {order_index: 1, inserts: {k: 'n'}},
              order: [{cmd:'set', item:'v', output_name:'{k}'}],
              named_tasks: {}, save_states: {}}""", "dynamic output_name"),
-        ("""{default_state: {order_index: 1, inserts: {}},
-             order: [{cmd:'for', name_list_map: {v: ['a']},
+        ("""{default_state: {order_index: 1, inserts: {l: ['x','y']}},
+             order: [{cmd:'for', name_list_map: {v: '{l}'},
                       tasks: [{cmd:'print', text:'{v}'}]}],
-             named_tasks: {}, save_states: {}}""", "for loop"),
+             named_tasks: {}, save_states: {}}""", "for over dynamic list"),
     ]:
         compiled = compile_src(src)
         with pytest.raises(NotTurbo):
@@ -406,3 +406,126 @@ def test_random_turbo_programs_agree(tmp_path, capsys):
         n_compared += 1
     capsys.readouterr()
     assert n_compared >= 20, n_compared
+
+
+FOR_SRC = """
+{
+    default_state: {order_index: 1, inserts: {total: 0}},
+    order: [
+        {cmd:'for', name_list_map:{x: ['1','2','3'], y: ['10','20','30']},
+         tasks:[
+            {cmd:'math', input:'{total} + {x} * {y}', output_name:'total'},
+            {cmd:'print', text:'{x}*{y};'},
+        ]},
+        {cmd:'print', text:'total={total} last={x}'},
+    ],
+    named_tasks: {}, save_states: {},
+}
+"""
+
+
+def test_turbo_for_loop(tmp_path, capsys):
+    host = run_host(FOR_SRC, tmp_path)
+    results = run_turbo(FOR_SRC, n=3)
+    capsys.readouterr()
+    for r in results:
+        assert r.status == DONE
+        assert r.output == host["output"] == \
+            "1*10;2*20;3*30;total=140 last=3"
+        assert r.inserts == dict(host["inserts"])
+
+
+FOR_STR_SRC = """
+{
+    default_state: {order_index: 1, inserts: {}},
+    order: [
+        {cmd:'for', name_list_map:{item: ['alpha', 7, 'gamma']},
+         tasks:[
+            {cmd:'print', text:'<{item}>'},
+        ]},
+        {cmd:'print', text:'!'},
+    ],
+    named_tasks: {}, save_states: {},
+}
+"""
+
+
+def test_turbo_for_mixed_elements(tmp_path, capsys):
+    """int elements print through the host crash-parity park (print of a
+    non-string raises in the reference) — so expect an error on BOTH."""
+    # replace the int with a string to stay on the happy path
+    src = FOR_STR_SRC.replace("7,", "'beta',")
+    host = run_host(src, tmp_path)
+    results = run_turbo(src, n=2)
+    capsys.readouterr()
+    for r in results:
+        assert r.status == DONE
+        assert r.output == host["output"] == "<alpha><beta><gamma>!"
+
+
+FOR_NESTED_SRC = """
+{
+    default_state: {order_index: 1, inserts: {}},
+    order: [
+        {cmd:'for', name_list_map:{a: ['1', '2']}, tasks:[
+            {cmd:'for', name_list_map:{b: ['x', 'y']}, tasks:[
+                {cmd:'print', text:'{a}{b} '},
+            ]},
+        ]},
+        {cmd:'print', text:'.'},
+    ],
+    named_tasks: {}, save_states: {},
+}
+"""
+
+
+def test_turbo_for_nested(tmp_path, capsys):
+    host = run_host(FOR_NESTED_SRC, tmp_path)
+    results = run_turbo(FOR_NESTED_SRC, n=2)
+    capsys.readouterr()
+    for r in results:
+        assert r.status == DONE
+        assert r.output == host["output"] == "1x 1y 2x 2y ."
+
+
+FOR_PARK_SRC = """
+{
+    default_state: {order_index: 1, inserts: {}},
+    order: [
+        {cmd:'for', name_list_map:{q: ['first', 'second']}, tasks:[
+            {cmd:'user_input', prompt:'{q}? ', output_name:'ans'},
+            {cmd:'print', text:'{q}={ans};'},
+        ]},
+        {cmd:'print', text:'done'},
+    ],
+    named_tasks: {}, save_states: {},
+}
+"""
+
+
+def test_turbo_for_with_leaf_park(tmp_path, capsys):
+    """A blocking op inside the loop body parks the lane; the counter must
+    survive the ring's re-encode (each iteration asks once)."""
+    host = run_host(FOR_PARK_SRC, tmp_path, responses=["A", "B"])
+    results = run_turbo(FOR_PARK_SRC, n=1, responses=["A", "B"])
+    capsys.readouterr()
+    r = results[0]
+    assert r.status == DONE
+    assert r.output == host["output"] == "first=A;second=B;done"
+
+
+def test_turbo_for_dynamic_list_not_turbo():
+    src = """
+    {
+        default_state: {order_index: 1, inserts: {lst: ['a','b']}},
+        order: [
+            {cmd:'for', name_list_map:{v: '{lst}'}, tasks:[
+                {cmd:'print', text:'{v}'},
+            ]},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """
+    from interpolation_engine_tpu.compiler.turbo import NotTurbo, plan_turbo
+    with pytest.raises(NotTurbo):
+        plan_turbo(compile_src(src))
