@@ -33,6 +33,12 @@ class VMConfig:
 
 DEFAULT = VMConfig()
 
+# Engine-selection env vars (read by vm/driver.py / chat/service.py):
+#   IE_TPU_MODE=jit|eager      — general-VM dispatch mode (auto otherwise)
+#   IE_TPU_TURBO=1|0           — force/skip the turbo kernel in the CLI
+#   IE_TPU_PALLAS=1|interpret  — Pallas brace scan in the interp kernel
+#   IE_TPU_DEVICE_FILTERS=1    — batch chat-filter fast path
+
 # Instance status codes
 RUNNING = 0
 DONE = 1
