@@ -314,8 +314,22 @@ def gen_turbo_program(rng: random.Random):
     n_labels = 0
     for _ in range(rng.randint(2, 8)):
         kind = rng.choice(["print", "set", "math", "delete", "label_goto",
-                           "goto_map"])
-        if kind == "print":
+                           "goto_map", "for"])
+        if kind == "for":
+            n = rng.randint(1, 4)
+            var = rng.choice(["it", "jt"])
+            lists = {var: [rng.choice(["a", "b", str(rng.randint(0, 9))])
+                           for _ in range(n)]}
+            if rng.random() < 0.4:
+                lists[var + "2"] = [str(rng.randint(0, 9))
+                                    for _ in range(n)]
+            body = [{"cmd": "print", "text": "<{" + var + "}>"}]
+            if rng.random() < 0.5:
+                body.append({"cmd": "set", "item": "{" + var + "}!",
+                             "output_name": rng.choice(keys)})
+            tasks.append({"cmd": "for", "name_list_map": lists,
+                          "tasks": body})
+        elif kind == "print":
             parts = []
             for _ in range(rng.randint(0, 3)):
                 parts.append(rng.choice(
