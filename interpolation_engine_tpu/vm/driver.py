@@ -609,75 +609,8 @@ class DeviceRunner:
             "inserts": decode_inserts(st),
             "output": decode_output(st),
         }
-        self._emit_cursors(state, pc, counters)
+        emit_cursors(self.compiled, state, pc, counters)
         return state
-
-    def _emit_cursors(self, state: dict, pc: int, counters) -> None:
-        from ..vm import isa as _isa
-        named_tasks = self.compiled.program.get("named_tasks", {})
-        code = self.compiled.code
-        tasks = self.compiled.program["order"]
-        pcs = self.compiled.block_task_pcs.get("", [])
-        prefix = None
-        # a pc sitting on OP_FOR_NEXT means "iteration done": the host
-        # equivalent is counter+1 with no body cursor
-        at_for_next = pc < len(code) and int(code[pc][0]) == _isa.OP_FOR_NEXT
-        while True:
-            j = 0
-            for idx, start in enumerate(pcs, start=1):
-                if start <= pc:
-                    j = idx
-            if j == 0:
-                j = 1  # before the first recorded start (defensive)
-            if int(code[min(pc, len(code) - 1)][0]) == _isa.OP_HALT and \
-                    prefix is None:
-                state["order_index"] = len(tasks) + 1
-                return
-            key = "order_index" if prefix is None else \
-                f"order_index/{prefix}"
-            state[key] = j
-            if j > len(tasks):
-                return
-            t = tasks[j - 1]
-            label = t.get("traceback_label",
-                          f"{t.get('cmd')}-{t.get('line', 0)}")
-            path = label if prefix is None else f"{prefix}/{label}"
-            seen = set()
-            while t.get("cmd") == "run_task" and \
-                    isinstance(t.get("task_name"), str) and \
-                    t["task_name"] in named_tasks and \
-                    t["task_name"] not in seen:
-                seen.add(t["task_name"])
-                t = named_tasks[t["task_name"]]
-                sub_label = t.get("traceback_label",
-                                  f"{t.get('cmd')}-{t.get('line', 0)}")
-                path = f"{path}/{sub_label}"
-            cmd = t.get("cmd")
-            if cmd == "serial" and path in self.compiled.block_task_pcs:
-                body = self.compiled.block_task_pcs[path]
-                if body and pc >= body[0]:
-                    tasks, pcs, prefix = t["tasks"], body, path
-                    continue
-                return
-            if cmd == "for" and path in self.compiled.block_task_pcs:
-                loop_id = self.compiled.block_loop_id.get(path)
-                c = int(counters[loop_id]) if loop_id is not None and \
-                    loop_id < len(counters) else 0
-                head_pc = pcs[j - 1]
-                body = self.compiled.block_task_pcs[path]
-                if pc == head_pc:
-                    if c > 0:
-                        state[f"order_index/{path}/counter"] = c
-                    return
-                if at_for_next:
-                    state[f"order_index/{path}/counter"] = c + 1
-                    return
-                state[f"order_index/{path}/counter"] = max(c, 1)
-                if body and pc >= body[0]:
-                    tasks, pcs, prefix = t["tasks"], body, path
-                    continue
-                return
-            return
 
     def save_to_program(self, batch: VMInstance, i: int, slot: str,
                         label: str, filepath: str):
@@ -701,7 +634,7 @@ class DeviceRunner:
         device cannot carry) are rejected — run those on the host engine.
         """
         counters = np.zeros((self.cfg.max_loops,), np.int32)
-        pc, leftovers = self._pc_of_state(state, counters)
+        pc, leftovers = pc_of_state(self.compiled, state, counters)
         if leftovers:
             raise ValueError(
                 f"state has block cursors below a host-op task "
@@ -712,64 +645,7 @@ class DeviceRunner:
                                pc=pc, counters=counters, rng=seed)
 
     def _pc_of_state(self, state: dict, counters) -> tuple:
-        """Resolve (order_index + nested cursors) → (pc, unconsumed keys)."""
-        cursors = {k for k in state if k.startswith("order_index/")}
-        consumed: set = set()
-        named_tasks = self.compiled.program.get("named_tasks", {})
-        tasks = self.compiled.program["order"]
-        pcs = self.compiled.block_task_pcs.get("", [])
-        k = int(state.get("order_index", 1))
-        prefix = None
-        while True:
-            if k > len(tasks) and prefix is None:
-                return self.compiled.n_instr - 1, cursors - consumed  # HALT
-            if not (1 <= k <= len(tasks)):
-                raise ValueError(f"cursor {k} out of range for block "
-                                 f"{prefix!r}")
-            t = tasks[k - 1]
-            pc = pcs[k - 1]
-            label = t.get("traceback_label",
-                          f"{t.get('cmd')}-{t.get('line', 0)}")
-            path = label if prefix is None else f"{prefix}/{label}"
-            # run_task chains extend the path without a cursor of their own
-            seen = set()
-            while t.get("cmd") == "run_task" and \
-                    isinstance(t.get("task_name"), str) and \
-                    t["task_name"] in named_tasks and \
-                    t["task_name"] not in seen:
-                seen.add(t["task_name"])
-                t = named_tasks[t["task_name"]]
-                sub_label = t.get("traceback_label",
-                                  f"{t.get('cmd')}-{t.get('line', 0)}")
-                path = f"{path}/{sub_label}"
-            cmd = t.get("cmd")
-            if cmd == "serial":
-                key = f"order_index/{path}"
-                if key in state:
-                    consumed.add(key)
-                    tasks = t["tasks"]
-                    pcs = self.compiled.block_task_pcs[path]
-                    k = int(state[key])
-                    prefix = path
-                    continue
-                return pc, cursors - consumed
-            if cmd == "for":
-                ckey = f"order_index/{path}/counter"
-                bkey = f"order_index/{path}"
-                if ckey in state:
-                    consumed.add(ckey)
-                    loop_id = self.compiled.block_loop_id.get(path)
-                    if loop_id is not None and loop_id < len(counters):
-                        counters[loop_id] = int(state[ckey])
-                if bkey in state:
-                    consumed.add(bkey)
-                    tasks = t["tasks"]
-                    pcs = self.compiled.block_task_pcs[path]
-                    k = int(state[bkey])
-                    prefix = path
-                    continue
-                return pc, cursors - consumed
-            return pc, cursors - consumed
+        return pc_of_state(self.compiled, state, counters)
 
     def pc_of_order_index(self, order_index: int) -> int:
         """First instruction belonging to the 1-based top-level task index."""
@@ -838,3 +714,140 @@ def run_program_on_device(filepath: str, args: list[str], io,
     # .strip() is the reference's own final print (:2403) — byte parity
     print(results[0].output.strip())
     return 0
+
+
+# ---------------------------------------------------------------------------
+# reference-format cursor mapping (shared by DeviceRunner and TurboEngine)
+# ---------------------------------------------------------------------------
+
+def emit_cursors(compiled, state: dict, pc: int, counters) -> None:
+    """Reconstruct the reference's nested ``order_index/<path>`` cursor keys
+    (and ``.../counter`` for ``for`` loops) from (pc, counter slots) —
+    interpolation_engine.py:2089-2094."""
+    from ..vm import isa as _isa
+    named_tasks = compiled.program.get("named_tasks", {})
+    code = compiled.code
+    tasks = compiled.program["order"]
+    pcs = compiled.block_task_pcs.get("", [])
+    prefix = None
+    # a pc sitting on OP_FOR_NEXT means "iteration done": the host
+    # equivalent is counter+1 with no body cursor
+    at_for_next = pc < len(code) and int(code[pc][0]) == _isa.OP_FOR_NEXT
+    while True:
+        j = 0
+        for idx, start in enumerate(pcs, start=1):
+            if start <= pc:
+                j = idx
+        if j == 0:
+            j = 1  # before the first recorded start (defensive)
+        if int(code[min(pc, len(code) - 1)][0]) == _isa.OP_HALT and \
+                prefix is None:
+            state["order_index"] = len(tasks) + 1
+            return
+        key = "order_index" if prefix is None else \
+            f"order_index/{prefix}"
+        state[key] = j
+        if j > len(tasks):
+            return
+        t = tasks[j - 1]
+        label = t.get("traceback_label",
+                      f"{t.get('cmd')}-{t.get('line', 0)}")
+        path = label if prefix is None else f"{prefix}/{label}"
+        seen = set()
+        while t.get("cmd") == "run_task" and \
+                isinstance(t.get("task_name"), str) and \
+                t["task_name"] in named_tasks and \
+                t["task_name"] not in seen:
+            seen.add(t["task_name"])
+            t = named_tasks[t["task_name"]]
+            sub_label = t.get("traceback_label",
+                              f"{t.get('cmd')}-{t.get('line', 0)}")
+            path = f"{path}/{sub_label}"
+        cmd = t.get("cmd")
+        if cmd == "serial" and path in compiled.block_task_pcs:
+            body = compiled.block_task_pcs[path]
+            if body and pc >= body[0]:
+                tasks, pcs, prefix = t["tasks"], body, path
+                continue
+            return
+        if cmd == "for" and path in compiled.block_task_pcs:
+            loop_id = compiled.block_loop_id.get(path)
+            c = int(counters[loop_id]) if loop_id is not None and \
+                loop_id < len(counters) else 0
+            head_pc = pcs[j - 1]
+            body = compiled.block_task_pcs[path]
+            if pc == head_pc:
+                if c > 0:
+                    state[f"order_index/{path}/counter"] = c
+                return
+            if at_for_next:
+                state[f"order_index/{path}/counter"] = c + 1
+                return
+            state[f"order_index/{path}/counter"] = max(c, 1)
+            if body and pc >= body[0]:
+                tasks, pcs, prefix = t["tasks"], body, path
+                continue
+            return
+        return
+
+
+def pc_of_state(compiled, state: dict, counters) -> tuple:
+    """Resolve (order_index + nested cursors) -> (pc, unconsumed keys);
+    the inverse of emit_cursors. for-counters land in `counters`."""
+    cursors = {k for k in state if k.startswith("order_index/")}
+    consumed: set = set()
+    named_tasks = compiled.program.get("named_tasks", {})
+    tasks = compiled.program["order"]
+    pcs = compiled.block_task_pcs.get("", [])
+    k = int(state.get("order_index", 1))
+    prefix = None
+    while True:
+        if k > len(tasks) and prefix is None:
+            return compiled.n_instr - 1, cursors - consumed  # HALT
+        if not (1 <= k <= len(tasks)):
+            raise ValueError(f"cursor {k} out of range for block "
+                             f"{prefix!r}")
+        t = tasks[k - 1]
+        pc = pcs[k - 1]
+        label = t.get("traceback_label",
+                      f"{t.get('cmd')}-{t.get('line', 0)}")
+        path = label if prefix is None else f"{prefix}/{label}"
+        # run_task chains extend the path without a cursor of their own
+        seen = set()
+        while t.get("cmd") == "run_task" and \
+                isinstance(t.get("task_name"), str) and \
+                t["task_name"] in named_tasks and \
+                t["task_name"] not in seen:
+            seen.add(t["task_name"])
+            t = named_tasks[t["task_name"]]
+            sub_label = t.get("traceback_label",
+                              f"{t.get('cmd')}-{t.get('line', 0)}")
+            path = f"{path}/{sub_label}"
+        cmd = t.get("cmd")
+        if cmd == "serial":
+            key = f"order_index/{path}"
+            if key in state:
+                consumed.add(key)
+                tasks = t["tasks"]
+                pcs = compiled.block_task_pcs[path]
+                k = int(state[key])
+                prefix = path
+                continue
+            return pc, cursors - consumed
+        if cmd == "for":
+            ckey = f"order_index/{path}/counter"
+            bkey = f"order_index/{path}"
+            if ckey in state:
+                consumed.add(ckey)
+                loop_id = compiled.block_loop_id.get(path)
+                if loop_id is not None and loop_id < len(counters):
+                    counters[loop_id] = int(state[ckey])
+            if bkey in state:
+                consumed.add(bkey)
+                tasks = t["tasks"]
+                pcs = compiled.block_task_pcs[path]
+                k = int(state[bkey])
+                prefix = path
+                continue
+            return pc, cursors - consumed
+        return pc, cursors - consumed

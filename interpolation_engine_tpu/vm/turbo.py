@@ -900,6 +900,61 @@ class TurboEngine:
         regs[C_OUTLEN] = len(out_data)
         return {"regs": regs, "sbuf": sbuf, "out": out}
 
+    # ---- save/load (reference-format state dicts) --------------------------
+
+    def export_state(self, batch: TurboBatch, i: int) -> dict:
+        """Decode instance i into the reference's runtime-state dict shape,
+        with nested cursors reconstructed from (pc, loop-counter columns) —
+        same contract as DeviceRunner.export_state, so turbo checkpoints
+        load on any engine (and in the reference)."""
+        from .driver import emit_cursors
+        sub = {"regs": np.asarray(batch.regs[i:i + 1]),
+               "sbuf": np.asarray(batch.sbuf[:, i:i + 1]),
+               "out": np.asarray(batch.out[i:i + 1])}
+        state = self._decode_row(sub, 0)
+        regs = sub["regs"][0]
+        pc = min(int(regs[C_PC]), self.compiled.n_instr - 1)
+        lc0 = C_BASE + 3 * self.cols.S
+        counters = regs[lc0:lc0 + self.cols.n_loops]
+        emit_cursors(self.compiled, state, pc, counters)
+        return state
+
+    def load_state(self, state: dict) -> dict:
+        """Encode a reference-format state dict as one turbo row (cursor
+        chains resolve to a pc; for-counters land in loop columns)."""
+        from .driver import pc_of_state
+        counters = np.zeros((max(self.cols.n_loops, 1),), np.int32)
+        pc, leftovers = pc_of_state(self.compiled, state, counters)
+        if leftovers:
+            raise ValueError(
+                f"state has block cursors below a host-op task "
+                f"{sorted(leftovers)}; resume requires the host engine")
+        row = self._encode_row(dict(state.get("inserts", {})),
+                               state.get("output", ""), pc, 0)
+        lc0 = C_BASE + 3 * self.cols.S
+        row["regs"][lc0:lc0 + self.cols.n_loops] = \
+            counters[:self.cols.n_loops]
+        return row
+
+    def load_batch(self, states: list) -> TurboBatch:
+        """A batch resuming the given reference-format states."""
+        rows = [self.load_state(s) for s in states]
+        n = len(rows)
+        n_pad = self._padded(n)
+        regs = np.zeros((n_pad, REGW), np.int32)
+        sbuf = np.zeros((self.cols.n_rows, n_pad, self.tcfg.width),
+                        np.int32)
+        out = np.zeros((n_pad, self.tcfg.out_width), np.int32)
+        for j, row in enumerate(rows):
+            regs[j] = row["regs"]
+            sbuf[:, j, :] = row["sbuf"]
+            out[j] = row["out"]
+        if n_pad > n:
+            regs[n:, C_STATUS] = DONE
+        self._n_live = n
+        return TurboBatch(regs=jnp.asarray(regs), sbuf=jnp.asarray(sbuf),
+                          out=jnp.asarray(out))
+
     def _decode_row(self, sub: dict, j: int) -> dict:
         cols = self.cols
         regs = sub["regs"][j]

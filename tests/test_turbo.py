@@ -543,3 +543,100 @@ def test_turbo_for_dynamic_list_not_turbo():
     from interpolation_engine_tpu.compiler.turbo import NotTurbo, plan_turbo
     with pytest.raises(NotTurbo):
         plan_turbo(compile_src(src))
+
+
+SAVE_SRC = """
+{
+    default_state: {order_index: 1, inserts: {}},
+    order: [
+        {cmd:'set', item:'v1', output_name:'a'},
+        {cmd:'print', text:'[{a}]'},
+        {cmd:'user_input', prompt:'pause ', output_name:'b'},
+        {cmd:'print', text:'[{b}]'},
+    ],
+    named_tasks: {}, save_states: {},
+}
+"""
+
+
+def test_turbo_export_and_cross_engine_resume(capsys):
+    """Turbo checkpoint → general-engine resume, and the reverse — same
+    reference-format state dicts on every engine."""
+    from interpolation_engine_tpu.vm.driver import DeviceRunner, _stack
+    from test_device_vm import CFG as GCFG
+
+    compiled = compile_src(SAVE_SRC)
+    engine = TurboEngine(compiled, TCFG,
+                         io_factory=lambda i: IOManager(ScriptedBackend([])))
+    batch = engine.make_batch(1)
+    batch = engine.step_fn(batch.regs.shape[0])(batch)  # park at user_input
+    state = engine.export_state(batch, 0)
+    capsys.readouterr()
+    assert state["order_index"] == 3
+    assert state["inserts"] == {"a": "v1"}
+    assert state["output"] == "[v1]"
+
+    # resume the turbo export on the GENERAL engine
+    runner = DeviceRunner(
+        compiled, GCFG,
+        io_factory=lambda i: IOManager(ScriptedBackend(["ans"])))
+    inst = runner.load_state(state)
+    final = runner.run(_stack([inst]), inner_steps=16)
+    r = runner.results(final)[0]
+    capsys.readouterr()
+    assert r.status == DONE and r.output == "[v1][ans]"
+
+    # and a general-engine export resumes on TURBO
+    runner2 = DeviceRunner(
+        compiled, GCFG,
+        io_factory=lambda i: IOManager(ScriptedBackend([])))
+    b2 = runner2.make_instances(1)
+    b2 = runner2._jitted(b2, 16)
+    gstate = runner2.export_state(b2, 0)
+    engine2 = TurboEngine(compiled, TCFG,
+                          io_factory=lambda i: IOManager(
+                              ScriptedBackend(["two"])))
+    tb = engine2.run(engine2.load_batch([gstate]), max_rounds=200)
+    r2 = engine2.results(tb, 1)[0]
+    capsys.readouterr()
+    assert r2.status == DONE and r2.output == "[v1][two]"
+
+
+def test_turbo_mid_for_resume(tmp_path, capsys):
+    """A host save taken INSIDE a for loop resumes on the turbo engine at
+    the right iteration (counter cursor → loop register column)."""
+    src = """
+    {
+        default_state: {order_index: 1, inserts: {}},
+        order: [
+            {cmd:'for', name_list_map:{q: ['one', 'two', 'three']}, tasks:[
+                {cmd:'user_input', prompt:'{q}? ', output_name:'ans'},
+                {cmd:'print', text:'{q}={ans};'},
+            ]},
+            {cmd:'print', text:'fin'},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """
+    compiled = compile_src(src)
+    # one round: park at iteration 1's input, service it ('A'), stop —
+    # the export lands mid-loop with counter=1 and ans=A already stored
+    engine = TurboEngine(
+        compiled, TCFG,
+        io_factory=lambda i: IOManager(ScriptedBackend(["A"])))
+    batch = engine.run(engine.make_batch(1), max_rounds=1)
+    state = engine.export_state(batch, 0)
+    capsys.readouterr()
+    assert state["inserts"].get("ans") == "A"
+    ckeys = [k for k in state if k.endswith("/counter")]
+    assert ckeys, state
+
+    # resume on a fresh turbo engine with the remaining answers
+    engine2 = TurboEngine(
+        compiled, TCFG,
+        io_factory=lambda i: IOManager(ScriptedBackend(["B", "C"])))
+    tb = engine2.run(engine2.load_batch([state]), max_rounds=200)
+    r = engine2.results(tb, 1)[0]
+    capsys.readouterr()
+    assert r.status == DONE
+    assert r.output == "one=A;two=B;three=C;fin"
