@@ -454,6 +454,10 @@ async def execute_task(rt: Runtime, state: dict, task: dict, runtime_label: str)
                 del state[k]
         await asyncio.gather(*pending, return_exceptions=True)
         first_task = done.pop()
+        for d in done:
+            d.exception()  # retrieve losers' outcomes (silences asyncio's
+            #                "exception was never retrieved" GC warnings;
+            #                observable behavior matches the reference)
         await first_task
 
     # ---- chat ------------------------------------------------------------------
