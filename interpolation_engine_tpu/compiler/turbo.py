@@ -46,10 +46,12 @@ ESCAPE = "\\"
 MAX_SLOTS = 30
 MAX_INSTRS = 96
 
-# characters allowed in non-star pattern text: the reference feeds goto_map
-# keys to re.match after replacing '*' with '(.*)' WITHOUT escaping the rest
-# (core/wildcard.py preserves that), so any regex metacharacter in a pattern
-# must keep the host/general path
+# characters allowed in non-star pattern text. The reference re.escape()s
+# everything except '*' (interpolation_engine.py:553-567 via the '〠'
+# placeholder; core/wildcard.py preserves that), so metacharacters ARE
+# literal — this set is conservative anyway: anything outside it (multi-byte
+# utf-8, control chars, braces) keeps the host/general path, where matching
+# goes through Python re and is exact by construction.
 _SAFE_PATTERN_CHARS = set(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
     " _-,:;!@#~'\"<>/&=%`"
@@ -621,7 +623,17 @@ def _plan_instr(plan, compiled, pc, op, a, b, task, slot_for, park):
 
 
 def _match_static(pattern: tuple, key: str) -> bool:
+    """Static decomposed-pattern match, incl. the reference's end-anchor
+    quirk: ``$`` also matches just before one trailing newline (re.match
+    DOTALL, core/wildcard.py). Pattern bytes never contain '\\n' (the safe
+    charset excludes it), so only the subject needs the trimmed retry."""
     data = key.encode("utf-8")
+    if _match_static_strict(pattern, data):
+        return True
+    return data.endswith(b"\n") and _match_static_strict(pattern, data[:-1])
+
+
+def _match_static_strict(pattern: tuple, data: bytes) -> bool:
     kind = pattern[0]
     if kind == "any":
         return True

@@ -175,18 +175,19 @@ def interpolate_inserts(inserts: dict, content: str):
         assert n_starts == n_stops, (
             f"Error: The following content has {n_starts} '{INSERT_START}' and "
             f"{n_stops} '{INSERT_STOP}':\n\n\"\"\"{content}\n\"\"\"")
-        outer_from = content.rfind(INSERT_START)
-        inner_to = content.find(INSERT_STOP, outer_from + len(INSERT_START))
-        if outer_from == -1 or inner_to == -1:
+        # innermost-first: the LAST '{' pairs with the next '}' after it
+        open_at = content.rfind(INSERT_START)
+        close_at = content.find(INSERT_STOP, open_at + len(INSERT_START))
+        if open_at == -1 or close_at == -1:
             break
-        inner_from = outer_from + len(INSERT_START)
-        outer_to = inner_to + len(INSERT_STOP)
-        insertkey = _swap_out_sentinels(content[inner_from:inner_to])
+        key_start = open_at + len(INSERT_START)
+        group_end = close_at + len(INSERT_STOP)
+        insertkey = _swap_out_sentinels(content[key_start:close_at])
         insertvalue = get_interpdata(inserts, insertkey)
         assert type(insertvalue) in (str, int, list), (
             f"Error: trying to interpolate variable '{insertkey}' of type "
             f"{type(insertvalue)} into a string.")
-        content = content[:outer_from] + py_str(insertvalue) + content[outer_to:]
+        content = content[:open_at] + py_str(insertvalue) + content[group_end:]
         content = _swap_in_sentinels(content)
 
     return _swap_out_sentinels(content)

@@ -171,11 +171,15 @@ def filter_chat_text(buf, length, *, start: bytes, stop: bytes,
     passthrough = len(start) == 0 or len(stop) == 0
 
     if passthrough:
-        # host passthrough: everything is one output, no enumeration
+        # host passthrough: everything is one output, no enumeration.
+        # An empty stream (zero 1-byte chunks in the chunk→0 limit) never
+        # calls the host filter at all, so outputs stays [] — n_spans=0
+        # (core/filters.py OutputFilter.outputs materializes on __call__).
         ext, ext_len = jnp.where(in_range, buf, 0), length
         span_off = jnp.zeros((MAX_SPANS,), jnp.int32)
         span_len = jnp.zeros((MAX_SPANS,), jnp.int32).at[0].set(ext_len)
-        n_spans = jnp.int32(1)
+        n_spans = jnp.where(length == 0, 0, 1).astype(jnp.int32)
+        raw_n_spans = n_spans
         span_of_byte = jnp.where(pos < ext_len, 0, -1)
     else:
         start_m = _match_mask(buf, length, start) & in_range
@@ -187,6 +191,7 @@ def filter_chat_text(buf, length, *, start: bytes, stop: bytes,
         # stays in the host buffer forever and never reaches the output
         kept = kept & ~_holdback_mask(buf, length, consumed, stop,
                                       shown_end)
+        raw_n_spans = n_spans  # pre-clip count: callers MUST check it
         n_spans = jnp.minimum(n_spans, MAX_SPANS)
         ext, ext_len = _compact(buf, kept, L)
         sid, _ = _compact((span_id + 1).astype(jnp.int32), kept, L)
@@ -242,14 +247,32 @@ def filter_chat_text(buf, length, *, start: bytes, stop: bytes,
         "visual": vis, "visual_len": vis_len,
         "extracted": ext,
         "span_off": span_off, "span_len": span_len, "n_spans": n_spans,
+        "raw_n_spans": raw_n_spans,
     }
+
+
+def _char_oracle(raw: str, start: str, stop: str, hide_start: str,
+                 hide_stop: str, enumerate_outputs: bool):
+    """Exact chunk→0 oracle: the host state machines fed one character at
+    a time (the limit the device kernel implements). Used when the kernel's
+    fixed span table can't hold the result."""
+    from ..core.filters import InvertedFilter, OutputFilter
+    extract = OutputFilter(start, stop, enumerate_outputs=enumerate_outputs)
+    hide = InvertedFilter(hide_start, hide_stop)
+    visual = ""
+    for ch in raw:
+        visual += hide(extract(ch))
+    return list(extract.outputs), visual
 
 
 def filter_chat_host(raw: str, start: str, stop: str, hide_start: str,
                      hide_stop: str, enumerate_outputs: bool):
     """Run the device kernel on one host string; returns (outputs,
     visual_output) in the host filters' shapes. Used by the chat service's
-    batch fast path and the differential tests."""
+    batch fast path and the differential tests. Streams opening more than
+    MAX_SPANS outputs fall back to the exact host oracle — truncating the
+    span table would both drop outputs and starve the executor's
+    ``len(outputs) < n_outputs`` retry loop forever."""
     data = raw.encode("utf-8")
     L = max(64, 1 << max(len(data), 1).bit_length())
     buf = np.zeros((L,), np.uint8)
@@ -260,6 +283,9 @@ def filter_chat_host(raw: str, start: str, stop: str, hide_start: str,
         hide_start=hide_start.encode(), hide_stop=hide_stop.encode(),
         enumerate_outputs=enumerate_outputs,
         out_size=2 * L + MAX_SPANS * _MARK)
+    if int(out["raw_n_spans"]) > MAX_SPANS:
+        return _char_oracle(raw, start, stop, hide_start, hide_stop,
+                            enumerate_outputs)
     n = int(out["n_spans"])
     ext = np.asarray(out["extracted"])
     outputs = []

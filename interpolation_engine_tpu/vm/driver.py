@@ -688,6 +688,7 @@ def run_program_on_device(filepath: str, args: list[str], io,
     # single interactive instance
     want_turbo = turbo_env == "1" or (turbo_env != "0" and batch >= 256)
     if want_turbo:
+        engine = tb = None
         try:
             from ..compiler.turbo import NotTurbo
             from .turbo import TurboConfig, TurboEngine
@@ -697,15 +698,24 @@ def run_program_on_device(filepath: str, args: list[str], io,
             tcfg = None if on_tpu else TurboConfig(
                 tile=max(8, min(64, batch)), k_steps=16)
             engine = TurboEngine(compiled, tcfg, io_factory=lambda i: io)
-            tb = engine.run(engine.make_batch(batch, list(args)))
-            results = engine.results(tb, batch)
+            tb = engine.make_batch(batch, list(args))
+            # compile + first kernel launch happen HERE, before any IO —
+            # stepping never performs IO (only the ring does), so falling
+            # back to the general engine on failure cannot duplicate output
+            tb = engine.step_fn(tb.regs.shape[0])(tb)
         except NotTurbo:
-            results = None
+            engine = None
         except Exception as e:  # Mosaic/compile failures → general engine
             import sys as _sys
             print(f"turbo engine unavailable ({type(e).__name__}); "
                   f"using the general device VM", file=_sys.stderr)
-            results = None
+            engine = None
+        if engine is not None:
+            # past this point exceptions propagate: the ring may have done
+            # IO, and reference-parity errors (e.g. goto_map assertions)
+            # must surface exactly, not trigger a duplicate re-run
+            tb = engine.run(tb)
+            results = engine.results(tb, batch)
     if results is None:
         runner = DeviceRunner(compiled, io_factory=lambda i: io)
         instances = runner.make_instances(batch, args)

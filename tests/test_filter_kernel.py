@@ -22,7 +22,9 @@ def host_filter(raw: str, start: str, stop: str, hide_start: str,
     extract = OutputFilter(start, stop, enumerate_outputs=enumerate_outputs)
     hide = InvertedFilter(hide_start, hide_stop)
     visual = ""
-    for i in range(0, max(len(raw), 1), chunk):
+    # empty raw = zero content deltas = zero filter calls (the service's
+    # per-delta loop never runs) — outputs stays []
+    for i in range(0, len(raw), chunk):
         visual += hide(extract(raw[i:i + chunk]))
     return list(extract.outputs), visual
 
@@ -38,6 +40,7 @@ CASES = [
     ("<o>unterminated span", "<o>", "</o>", "", "", False),
     ("prefix <o>x</o>", "<o>", "</o>", "", "", False),
     ("", "<o>", "</o>", "", "", False),
+    ("", "", "", "", "", False),          # empty passthrough → outputs []
     ("anything goes", "", "", "", "", False),                 # passthrough
     ("pass with <think>hidden</think> text", "", "", "<think>", "</think>",
      False),
@@ -73,6 +76,20 @@ def test_host_coarse_chunk_quirk_exists():
     outputs1, _ = host_filter("<o>hi</o>", "<o>", "</o>", "", "", False,
                               chunk=1)
     assert outputs1 == ["hi"]
+
+
+def test_span_overflow_falls_back_to_exact_oracle():
+    """More than MAX_SPANS outputs: the fixed span table can't hold them,
+    so filter_chat_host must return the EXACT host result (all spans), not
+    a silently truncated table (ADVICE r2 medium)."""
+    raw = "".join(f"<o>s{k}</o>," for k in range(20))
+    want_outputs, want_visual = host_filter(
+        raw, "<o>", "</o>", "", "", True, chunk=1)
+    got_outputs, got_visual = filter_chat_host(
+        raw, "<o>", "</o>", "", "", True)
+    assert len(got_outputs) == 20
+    assert got_outputs == want_outputs
+    assert got_visual == want_visual
 
 
 def test_fuzz_streams():

@@ -283,6 +283,57 @@ def test_goto_map_null_route(tmp_path, capsys):
     assert r.output == host["output"]
 
 
+NEWLINE_ROUTE = """
+{
+    default_state: {order_index: 1, inserts: {}},
+    order: [
+        {cmd:'set', item:'hello\\n', output_name:'v'},
+        {cmd:'goto_map', text:'{v}', target_maps:[
+            {'%(key)s': '@yes'},
+            {'*': '@no'},
+        ]},
+        {cmd:'label', name:'@yes'},
+        {cmd:'print', text:'matched-early'},
+        {cmd:'goto', name:'@end'},
+        {cmd:'label', name:'@no'},
+        {cmd:'print', text:'fell-to-star'},
+        {cmd:'label', name:'@end'},
+    ],
+    named_tasks: {}, save_states: {},
+}
+"""
+
+
+@pytest.mark.parametrize("key", ["hello", "*llo", "he*llo"])
+def test_goto_map_trailing_newline_quirk(tmp_path, capsys, key):
+    """A rendered text ending in '\\n' matches an exact/suffix/affix key via
+    the reference's '$'-before-trailing-newline quirk; turbo must route to
+    the SAME early entry as the host, not fall through to '*' (ADVICE r2
+    high — wrong-control-flow divergence, not a safe park)."""
+    src = NEWLINE_ROUTE % {"key": key}
+    host = run_host(src, tmp_path)
+    capsys.readouterr()
+    assert host["output"] == "matched-early"   # quirk fires on host
+    results = run_turbo(src, n=2)
+    for r in results:
+        assert r.status == DONE
+        assert r.output == host["output"]
+
+
+def test_delete_static_match_trailing_newline():
+    """_match_static (IDelete slot matching) implements the same quirk as
+    core/wildcard.py for key names ending in '\\n'."""
+    from interpolation_engine_tpu.compiler.turbo import (
+        _compile_pattern, _match_static)
+    from interpolation_engine_tpu.core.wildcard import is_wildcard_match
+    for pat in ["hello", "*llo", "he*llo", "he*", "*"]:
+        compiled = _compile_pattern(pat)
+        assert compiled is not None
+        for key in ["hello", "hello\n", "hello\n\n", "hell", "hell\n"]:
+            assert _match_static(compiled, key) == \
+                is_wildcard_match(pat, key), (pat, key)
+
+
 def test_not_turbo_shapes():
     """Programs outside the slot model must be rejected, not mis-run."""
     for src, why in [
