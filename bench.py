@@ -3,11 +3,20 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Workload: a compute-heavy program spine exercising the hot device opcodes
-(interpolation, math, goto_map branching, set) over N concurrent instances —
-the BASELINE.json configuration ("batched tasks/sec/chip"). The reference
-publishes no numbers (BASELINE.md), so vs_baseline is measured against the
-driver's north-star target of 10M tasks/sec/chip.
+Workloads (BENCH_WORKLOAD env):
+  adventure (default) — a text_adventure-SHAPED spine: a history LIST
+      (append/length/slice trim), a PARALLEL_RACE block per turn, goto_map
+      room dispatch, and >96 instructions — the reference's stress-test
+      shape (examples/text_adventure.json5:66-198,290-324), pure-compute so
+      it measures the engine, not the ring.
+  spine — round-2's 7-instruction scalar loop (best case, for continuity).
+  divergent — the adventure spine with instances fanned across
+      BENCH_DIVERGENCE distinct pcs (min-pc scheduling worst case).
+
+Engines (BENCH_ENGINE env): turbo (default) | general.
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is
+measured against the driver's north-star target of 10M tasks/sec/chip.
 
 Task accounting is honest: the value counts executed VM instructions
 (sum of per-instance step counters), not wall-clock × batch.
@@ -41,6 +50,62 @@ BENCH_PROGRAM = """
     named_tasks: {}, save_states: {},
 }
 """
+
+
+def adventure_program(n_rooms: int = 6, t_max: int = 1 << 30) -> str:
+    """A text_adventure-shaped pure-compute spine: per room — history list
+    append + length + trim-slice (the summarization window of
+    text_adventure.json5:290-324), a parallel_race of a "generation" lane
+    vs a "choice" lane (:66-198), goto_map dispatch to the next room.
+    n_rooms=6 → ~120 instructions. Terminates at turn t_max."""
+    rooms = []
+    for r in range(n_rooms):
+        nr = (r + 1) % n_rooms
+        nr2 = (r + 3) % n_rooms
+        rooms.append("""
+        {cmd:'label', name:'@room-%(r)d'},
+        {cmd:'clear'},
+        {cmd:'math', input:'{turn} + 1', output_name:'turn'},
+        {cmd:'set', item:'scene-%(r)d-{turn}', output_name:'scene'},
+        {cmd:'list_append', list:'{hist}', item:'h%(r)d.{turn}',
+         output_name:'hist'},
+        {cmd:'math', input:'length(hist)', output_name:'hlen'},
+        {cmd:'goto_map', text:'{hlen}', target_maps:[
+            {'10': '@trim-%(r)d'}, {'*': '@play-%(r)d'}]},
+        {cmd:'label', name:'@trim-%(r)d'},
+        {cmd:'list_slice', list:'{hist}', from_index:5,
+         to_index:'{hlen}', output_name:'hist'},
+        {cmd:'label', name:'@play-%(r)d'},
+        {cmd:'parallel_race', tasks:[
+            {cmd:'serial', tasks:[
+                {cmd:'set', item:'gen-{scene}', output_name:'gen'},
+                {cmd:'print', text:'{gen};'},
+            ]},
+            {cmd:'serial', tasks:[
+                {cmd:'set', item:'c%(r)d', output_name:'choice'},
+            ]},
+        ]},
+        {cmd:'math', input:'{acc} + {turn} %% 7', output_name:'acc'},
+        {cmd:'goto_map', text:'{turn}', target_maps:[
+            {'%(tmax)d': '@fin'}, {'*': '@hop-%(r)d'}]},
+        {cmd:'label', name:'@hop-%(r)d'},
+        {cmd:'goto_map', text:'{choice}-{hlen}', target_maps:[
+            {'c%(r)d-3': '@room-%(nr2)d'},
+            {'c*': '@room-%(nr)d'},
+            {'*': '@fin'}]},
+        """ % {"r": r, "nr": nr, "nr2": nr2, "tmax": t_max})
+    return """
+    {
+        default_state: {order_index: 1, inserts:
+            {turn: 0, acc: 0, hist: ['seed'], choice: 'c0'}},
+        order: [
+            %s
+            {cmd:'label', name:'@fin'},
+            {cmd:'print', text:'fin turn={turn} acc={acc} hist={hist}'},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """ % "".join(rooms)
 
 
 def main():
@@ -89,8 +154,13 @@ def measure():
     n_instances = int(os.environ.get(
         "BENCH_INSTANCES", 131_072 if on_accel else 2_048))
     rounds = int(os.environ.get("BENCH_ROUNDS", 8))
+    workload = os.environ.get("BENCH_WORKLOAD", "adventure")
 
-    program = json5.loads(add_line_numbers(BENCH_PROGRAM))
+    if workload == "spine":
+        src = BENCH_PROGRAM
+    else:
+        src = adventure_program(int(os.environ.get("BENCH_ROOMS", 6)))
+    program = json5.loads(add_line_numbers(src))
     validate_program(program)
     compiled = compile_program(program)
     assert not compiled.host_only
@@ -103,9 +173,11 @@ def measure():
         pass
 
     engine = os.environ.get("BENCH_ENGINE", "turbo")
+    divergence = int(os.environ.get(
+        "BENCH_DIVERGENCE", 8 if workload == "divergent" else 0))
     if engine == "turbo":
         executed, elapsed, compile_s = _measure_turbo(
-            compiled, n_instances, rounds, on_accel)
+            compiled, n_instances, rounds, on_accel, divergence)
     else:
         executed, elapsed, compile_s = _measure_general(
             compiled, n_instances, rounds)
@@ -113,7 +185,8 @@ def measure():
     tasks_per_sec = executed / elapsed
     result = {
         "metric": (f"batched VM tasks/sec ({n_instances} instances, "
-                   f"{platform}, {engine} engine)"),
+                   f"{platform}, {engine} engine, {workload} workload"
+                   f"[{compiled.n_instr} instrs])"),
         "value": round(tasks_per_sec, 1),
         "unit": "tasks/sec",
         "vs_baseline": round(tasks_per_sec / TARGET_TASKS_PER_SEC, 4),
@@ -123,17 +196,35 @@ def measure():
           f"compile={compile_s:.1f}s platform={platform}", file=sys.stderr)
 
 
-def _measure_turbo(compiled, n_instances, rounds, on_accel):
-    """The turbo engine: one Pallas mega-kernel, K VM steps per launch."""
+def _measure_turbo(compiled, n_instances, rounds, on_accel,
+                   divergence: int = 0):
+    """The turbo engine: one Pallas mega-kernel, K VM steps per launch.
+
+    divergence > 0 fans instances across that many distinct starting pcs
+    (via reference-format states at different order_index), quantifying
+    min-pc scheduling's serialization under a forked batch."""
     import numpy as np
     import jax
     from interpolation_engine_tpu.vm.turbo import TurboConfig, TurboEngine
 
     inner_steps = int(os.environ.get("BENCH_INNER_STEPS", 64))
     tcfg = TurboConfig(tile=int(os.environ.get("BENCH_TILE", 512)),
-                       width=128, out_width=128, k_steps=inner_steps)
+                       width=128, out_width=192, k_steps=inner_steps)
     eng = TurboEngine(compiled, tcfg)
-    batch = eng.make_batch(n_instances)
+    if divergence > 0:
+        inserts = dict(compiled.program["default_state"]["inserts"])
+        # every referenced key defined, so no lane ring-parks on a missing
+        # key — the bench isolates pc divergence, not ring pressure
+        inserts.update({"scene": "s", "gen": "g", "hlen": 1})
+        n_top = len(compiled.program["order"])
+        targets = [1 + (k * n_top) // divergence
+                   for k in range(divergence)]
+        states = [{"inserts": dict(inserts), "output": "",
+                   "order_index": targets[i % divergence]}
+                  for i in range(n_instances)]
+        batch = eng.load_batch(states)
+    else:
+        batch = eng.make_batch(n_instances)
     step = eng.step_fn(batch.regs.shape[0])
 
     t0 = time.perf_counter()
@@ -159,9 +250,9 @@ def _measure_general(compiled, n_instances, rounds):
     from interpolation_engine_tpu.vm.driver import DeviceRunner
 
     inner_steps = int(os.environ.get("BENCH_INNER_STEPS", 8))
-    cfg = VMConfig(max_str=96, max_key=24, n_slots=8, arena_size=512,
-                   pool_size=8, out_size=128, max_subst=6, max_stars=2,
-                   max_list=4, max_fix=4)
+    cfg = VMConfig(max_str=96, max_key=24, n_slots=12, arena_size=1024,
+                   pool_size=32, out_size=192, max_subst=6, max_stars=2,
+                   max_list=16, max_fix=4)
     runner = DeviceRunner(compiled, cfg, mode="jit")
     batch = runner.make_instances(n_instances)
 

@@ -43,8 +43,9 @@ INSERT_START = "{"
 INSERT_STOP = "}"
 ESCAPE = "\\"
 
-MAX_SLOTS = 30
-MAX_INSTRS = 96
+MAX_SLOTS = 64
+MAX_INSTRS = 192
+MAX_LIST_LIT = 16   # largest literal list planned natively
 
 # characters allowed in non-star pattern text. The reference re.escape()s
 # everything except '*' (interpolation_engine.py:553-567 via the '〠'
@@ -166,8 +167,105 @@ class IForNext:
     head_pc: int
 
 
+@dataclass(frozen=True)
+class IForHeadDyn:
+    """for head over dynamic list slots (``name_list_map: {x: '{lst}'}``).
+    The host snapshots the lists at entry (core/executor.py ``for`` case);
+    natively we re-read per visit, which is equal ONLY because the planner
+    rejects bodies that write any looped slot (those park the head — the
+    ring runs the whole loop exactly). pairs: ((var_slot, list_slot), ...);
+    lists of differing length park (host raises the exact assert)."""
+    loop_id: int
+    exit_pc: int
+    pairs: tuple
+
+
+# item sources (shared by ISet/IListAppend/IListRemove/IListNew elements):
+# ('int', v) | ('str', bytes) | ('copy', slot) | ('tmpl', segments)
+
+@dataclass(frozen=True)
+class IListNew:
+    """set of a literal list: elements are item sources."""
+    out_slot: int
+    elems: tuple
+
+
+@dataclass(frozen=True)
+class IListAppend:
+    out_slot: int
+    src_slot: int
+    item: tuple
+
+
+@dataclass(frozen=True)
+class IListRemove:
+    out_slot: int
+    src_slot: int
+    item: tuple
+
+
+@dataclass(frozen=True)
+class IListIndex:
+    """1-based element read (negatives from the end). index is
+    ('const', v) | ('copy', slot) | ('tmpl', segs) — string forms go
+    through int() on the host, so the device accepts clean decimals only
+    and parks the rest (interpolation_engine.py:1523-1535)."""
+    out_slot: int
+    src_slot: int
+    index: tuple
+
+
+@dataclass(frozen=True)
+class IListSlice:
+    """1-based right-inclusive slice; bounds are ('const', v) or
+    ('rpn', ops) (math strings, interpolation_engine.py:1537-1556)."""
+    out_slot: int
+    src_slot: int
+    frm: tuple
+    to: tuple
+
+
+@dataclass(frozen=True)
+class IListJoin:
+    """before + between.join(list) + after → str slot. Non-str elements
+    TypeError on the host — the device parks them."""
+    out_slot: int
+    src_slot: int
+    before: tuple     # template segments
+    between: tuple
+    after: tuple
+
+
+@dataclass(frozen=True)
+class IListConcat:
+    """Flatten list slots (``lists: ['{a}', '{b}']`` of simple keys)."""
+    out_slot: int
+    src_slots: tuple
+
+
+@dataclass(frozen=True)
+class IParBegin:
+    """parallel_wait/race entry: spawn K pc lanes (vm/step.py h_par_begin
+    twin). Everything static from the compiler's aux record."""
+    mode: int         # 1 = wait, 2 = race
+    k: int
+    join_pc: int
+    entries: tuple
+    loop_lo: int
+    loop_hi: int
+
+
+@dataclass(frozen=True)
+class IThreadEnd:
+    """Current lane's body completed (vm/step.py h_thread_end twin)."""
+    k: int
+    join_pc: int
+
+
 Instr = Union[IHalt, INop, IGoto, IPark, IClear, ISet, IMath, IPrint,
-              IGotoMap, IDelete, IForHead, IForNext]
+              IGotoMap, IDelete, IForHead, IForNext, IForHeadDyn,
+              IListNew, IListAppend, IListRemove, IListIndex, IListSlice,
+              IListJoin, IListConcat, IParBegin, IThreadEnd]
 
 
 @dataclass
@@ -179,6 +277,7 @@ class TurboPlan:
     n_parks: int = 0
     park_kind_of: dict = field(default_factory=dict)  # pc -> ring kind
     slot_kinds: list = field(default_factory=list)    # per-slot value kind
+    needs_threads: int = 0                            # lanes (0 = none)
 
     @property
     def n_instr(self) -> int:
@@ -188,12 +287,18 @@ class TurboPlan:
     def n_slots(self) -> int:
         return len(self.slot_names)
 
+    @property
+    def list_slots(self) -> list:
+        return [s for s, k in enumerate(self.slot_kinds) if k == K_LIST]
 
-# slot value kinds (a tiny lattice: NONE < INT/STR < MIX). Branch builders
-# use them to skip dead paths at trace time: an INT slot never renders its
-# byte plane, a STR slot never runs int→decimal, a NONE slot (referenced but
-# never produced) is statically missing.
-K_NONE, K_INT, K_STR, K_MIX = "none", "int", "str", "mix"
+
+# slot value kinds (a tiny lattice: NONE < INT/STR/LIST < MIX; LIST joined
+# with any scalar kind is POLY = not representable). Branch builders use
+# them to skip dead paths at trace time: an INT slot never renders its byte
+# plane, a STR slot never runs int→decimal, a NONE slot (referenced but
+# never produced) is statically missing, a LIST slot owns an element pool.
+K_NONE, K_INT, K_STR, K_MIX, K_LIST, K_POLY = \
+    "none", "int", "str", "mix", "list", "poly"
 
 
 def _kind_join(a: str, b: str) -> str:
@@ -201,6 +306,8 @@ def _kind_join(a: str, b: str) -> str:
         return a
     if a == K_NONE:
         return b
+    if K_POLY in (a, b) or K_LIST in (a, b):
+        return K_POLY
     return K_MIX
 
 
@@ -208,14 +315,46 @@ def _kind_join(a: str, b: str) -> str:
 _PARK_WRITE_KINDS = {
     "user_input": K_STR,      # stored escaped, always a string
     "user_choice": K_STR,
-    "chat": K_STR,            # n_outputs==1 enforced by eligibility
     "math": K_INT,
     "list_join": K_STR,
+    "list_concat": K_LIST,
+    "list_append": K_LIST,
+    "list_remove": K_LIST,
+    "list_slice": K_LIST,
     "random_choice": K_MIX,
     "replace_map": K_MIX,     # int items pass through untouched
     "unescape": K_MIX,
     "set": K_MIX,
 }
+
+
+def _park_write_kind(t: dict):
+    """Value kind (or ('edge', src_slot_name)) a host-serviced command
+    stores under its output_name — item-aware where the command's output
+    shape follows its input (set/unescape/replace_map of a literal list or
+    a simple key)."""
+    cmd = t.get("cmd")
+    if cmd == "chat":
+        return K_LIST if (t.get("n_outputs", 1) != 1
+                          or "choices_list" in t) else K_STR
+    if cmd in ("set", "unescape", "replace_map"):
+        item = t.get("item")
+        if isinstance(item, list):
+            return K_LIST
+        if isinstance(item, dict):
+            return K_POLY
+        if isinstance(item, str) and item.startswith("{") and \
+                item.endswith("}") and not any(
+                    c in item[1:-1] for c in "{}\\"):
+            return ("edge", item[1:-1])
+    if cmd == "random_choice":
+        lst = t.get("list")
+        if isinstance(lst, list) and all(
+                isinstance(e, (int, str)) and not isinstance(e, bool)
+                for e in lst):
+            return K_MIX
+        return K_POLY  # could pick a nested list
+    return _PARK_WRITE_KINDS.get(cmd, K_MIX)
 
 
 def _infer_slot_kinds(plan: "TurboPlan") -> list:
@@ -226,12 +365,21 @@ def _infer_slot_kinds(plan: "TurboPlan") -> list:
     def join(s: int, k: str):
         kinds[s] = _kind_join(kinds[s], k)
 
+    def item_kind(src: tuple, out_slot: int):
+        if src[0] == "int":
+            join(out_slot, K_INT)
+        elif src[0] == "copy":
+            copy_edges.append((src[1], out_slot))
+        else:
+            join(out_slot, K_STR)
+
     inserts = plan.compiled.program.get("default_state", {}).get(
         "inserts", {})
     for key, value in inserts.items():
         s = plan.slot_of.get(str(key))
         if s is not None:
-            join(s, K_INT if isinstance(value, int) else K_STR)
+            join(s, K_LIST if isinstance(value, list)
+                 else K_INT if isinstance(value, int) else K_STR)
     for name, s in plan.slot_of.items():
         if name.startswith("ARG") and name[3:].isdigit():
             join(s, K_STR)   # CLI args are stored escaped
@@ -243,13 +391,30 @@ def _infer_slot_kinds(plan: "TurboPlan") -> list:
             for slot, elems in ins.pairs:
                 for kind, _v in elems:
                     join(slot, K_INT if kind == "int" else K_STR)
+        elif isinstance(ins, IForHeadDyn):
+            for var_slot, list_slot in ins.pairs:
+                join(var_slot, K_MIX)       # element types unknown
+                join(list_slot, K_LIST)
         elif isinstance(ins, ISet):
-            if ins.src[0] == "int":
-                join(ins.out_slot, K_INT)
-            elif ins.src[0] == "copy":
+            if ins.src[0] == "copy":
                 copy_edges.append((ins.src[1], ins.out_slot))
             else:
-                join(ins.out_slot, K_STR)
+                item_kind(ins.src, ins.out_slot)
+        elif isinstance(ins, IListNew):
+            join(ins.out_slot, K_LIST)
+        elif isinstance(ins, (IListAppend, IListRemove, IListSlice)):
+            join(ins.out_slot, K_LIST)
+            join(ins.src_slot, K_LIST)
+        elif isinstance(ins, IListConcat):
+            join(ins.out_slot, K_LIST)
+            for s in ins.src_slots:
+                join(s, K_LIST)
+        elif isinstance(ins, IListIndex):
+            join(ins.out_slot, K_MIX)
+            join(ins.src_slot, K_LIST)
+        elif isinstance(ins, IListJoin):
+            join(ins.out_slot, K_STR)
+            join(ins.src_slot, K_LIST)
         elif isinstance(ins, IPark):
             task = plan.compiled.source_tasks[pc]
             if task is None:
@@ -260,7 +425,15 @@ def _infer_slot_kinds(plan: "TurboPlan") -> list:
                     name = _literal_name(oname)
                     s = plan.slot_of.get(name) if name else None
                     if s is not None:
-                        join(s, _PARK_WRITE_KINDS.get(t.get("cmd"), K_MIX))
+                        k = _park_write_kind(t)
+                        if isinstance(k, tuple):   # ('edge', src_name)
+                            src = plan.slot_of.get(k[1])
+                            if src is not None:
+                                copy_edges.append((src, s))
+                            else:
+                                join(s, K_MIX)
+                        else:
+                            join(s, k)
                 for fname in (t.get("name_list_map") or {}):
                     fs = plan.slot_of.get(str(fname))
                     if fs is not None:
@@ -276,6 +449,10 @@ def _infer_slot_kinds(plan: "TurboPlan") -> list:
                 changed = True
         if not changed:
             break
+    if K_POLY in kinds:
+        bad = [plan.slot_names[s] for s, k in enumerate(kinds)
+               if k == K_POLY]
+        raise NotTurbo(f"slots hold both list and scalar values: {bad}")
     return kinds
 
 
@@ -302,10 +479,6 @@ def _walk_tasks(task):
         yield from _walk_tasks(item)
 
 
-_LIST_PRODUCERS = {"list_concat", "list_append", "list_remove", "list_slice",
-                   "list_join"}
-
-
 def _collect_keys(program: dict) -> list:
     """All keys that can ever persist in state['inserts'] — or NotTurbo."""
     keys: list[str] = []
@@ -314,10 +487,21 @@ def _collect_keys(program: dict) -> list:
         if k not in keys:
             keys.append(k)
 
+    def check_scalar_or_list(v, what: str):
+        if isinstance(v, bool):
+            raise NotTurbo(f"bool {what}")
+        if isinstance(v, (int, str)):
+            return
+        if isinstance(v, list):
+            for e in v:
+                if isinstance(e, bool) or not isinstance(e, (int, str)):
+                    raise NotTurbo(f"nested/non-scalar element in {what}")
+            return
+        raise NotTurbo(f"unsupported {what} type {type(v).__name__}")
+
     inserts = program.get("default_state", {}).get("inserts", {})
     for k, v in inserts.items():
-        if isinstance(v, bool) or not isinstance(v, (int, str)):
-            raise NotTurbo(f"non int/str default insert {k!r}")
+        check_scalar_or_list(v, f"default insert {k!r}")
         add(str(k))
 
     roots = list(program.get("order", []))
@@ -329,29 +513,18 @@ def _collect_keys(program: dict) -> list:
             raise NotTurbo("dynamic task list")
         for t in _walk_tasks(root):
             cmd = t.get("cmd")
-            if cmd in _LIST_PRODUCERS or cmd in ("list_index",
-                                                 "random_choice"):
-                # list values (or list-consuming ops) don't fit the slot model
-                raise NotTurbo(f"{cmd} needs list values")
             if cmd == "for":
-                # literal name_list_map over literal int/str lists is fine:
-                # loop-var slots only ever hold scalar elements. A dynamic
-                # list would itself need a slot — not in the model.
+                # name_list_map over literal int/str lists or simple keys
+                # of list slots; loop-var slots hold scalar elements
                 for name, lst in (t.get("name_list_map") or {}).items():
+                    if isinstance(lst, str):
+                        continue  # dynamic: validated at runtime (parks)
                     if not isinstance(lst, list):
-                        raise NotTurbo("for over a dynamic list")
-                    for e in lst:
-                        if isinstance(e, bool) or not isinstance(e,
-                                                                 (int, str)):
-                            raise NotTurbo("for element type")
-            if cmd == "chat" and (t.get("n_outputs", 1) != 1
-                                  or "choices_list" in t):
-                raise NotTurbo("chat may store a list")
-            if cmd == "set" and isinstance(t.get("item"), (list, dict)):
-                raise NotTurbo("set of a list/dict item")
-            if cmd == "replace_map" and isinstance(t.get("item"),
-                                                   (list, dict)):
-                raise NotTurbo("replace_map of a list/dict item")
+                        raise NotTurbo("for over a non-list")
+                    check_scalar_or_list(lst, "for list")
+            if cmd in ("set", "replace_map", "unescape") and \
+                    isinstance(t.get("item"), dict):
+                raise NotTurbo(f"{cmd} of a dict item")
             if "output_name" in t:
                 name = _literal_name(t["output_name"])
                 if name is None:
@@ -488,8 +661,103 @@ def plan_turbo(compiled: CompiledProgram) -> TurboPlan:
         plan.instrs.append(_plan_instr(
             plan, compiled, pc, op, a, b, task, slot_for, park))
 
+    # post-pass: a dynamic for-loop is only equal to the host's
+    # snapshot-at-entry semantics when its body can't write the looped
+    # slots; otherwise the head parks and the ring runs the whole loop
+    for pc, ins in enumerate(plan.instrs):
+        if not isinstance(ins, IForHeadDyn):
+            continue
+        looped = {ls for _v, ls in ins.pairs}
+        body_writes = set()
+        for bpc in range(pc + 1, ins.exit_pc):
+            body_writes |= _written_slots(plan, bpc)
+        if looped & body_writes:
+            plan.instrs[pc] = park(pc)
+
+    plan.needs_threads = compiled.needs_threads
     plan.slot_kinds = _infer_slot_kinds(plan)
     return plan
+
+
+def _written_slots(plan: TurboPlan, pc: int) -> set:
+    """Slots instruction `pc` can write (conservative, for the dyn-for
+    snapshot check)."""
+    ins = plan.instrs[pc]
+    if isinstance(ins, (ISet, IMath, IListNew, IListAppend, IListRemove,
+                        IListIndex, IListSlice, IListJoin, IListConcat)):
+        return {ins.out_slot}
+    if isinstance(ins, IForHead):
+        return {s for s, _e in ins.pairs}
+    if isinstance(ins, IForHeadDyn):
+        return {v for v, _l in ins.pairs}
+    if isinstance(ins, IDelete):
+        return set(ins.slots)
+    if isinstance(ins, IPark):
+        task = plan.compiled.source_tasks[pc]
+        out = set()
+        if task is None:
+            return set(range(plan.n_slots))  # unknown: assume everything
+        for t in _walk_tasks(task):
+            name = t.get("output_name")
+            lit = _literal_name(name) if isinstance(name, str) else None
+            if isinstance(name, str) and lit is None:
+                return set(range(plan.n_slots))  # dynamic name
+            if lit is not None and lit in plan.slot_of:
+                out.add(plan.slot_of[lit])
+            for fname in (t.get("name_list_map") or {}):
+                if str(fname) in plan.slot_of:
+                    out.add(plan.slot_of[str(fname)])
+            if t.get("cmd") in ("delete", "delete_except"):
+                return set(range(plan.n_slots))
+        return out
+    return set()
+
+
+def _plan_item(item, slot_for) -> Optional[tuple]:
+    """Lower a scalar item (set/list element) to an item source, or None
+    when only the host path reproduces it (dicts, bools, escapes...)."""
+    if isinstance(item, bool):
+        return None
+    if isinstance(item, int):
+        return ("int", item)
+    if not isinstance(item, str):
+        return None
+    tmpl = _parse_template(item, slot_for)
+    if tmpl is None:
+        return None
+    if len(tmpl) == 0:
+        return ("str", b"")
+    if len(tmpl) == 1 and isinstance(tmpl[0], Hole):
+        return ("copy", tmpl[0].slot)
+    if len(tmpl) == 1 and isinstance(tmpl[0], Lit):
+        return ("str", tmpl[0].data)
+    return ("tmpl", tmpl)
+
+
+def _plan_list_src(field, slot_for) -> Optional[int]:
+    """The ``list`` field of a list op: a simple key naming a list slot.
+    (Literal lists / nested templates keep the host path.)"""
+    if not isinstance(field, str):
+        return None
+    tmpl = _parse_template(field, slot_for)
+    if tmpl is None or len(tmpl) != 1 or not isinstance(tmpl[0], Hole):
+        return None
+    return tmpl[0].slot
+
+
+def _plan_bound(value, slot_for) -> Optional[tuple]:
+    """list_slice bound: int literal or math string (host eval_math's
+    strings — interpolation_engine.py:1543-1554)."""
+    if isinstance(value, bool):
+        return None
+    if isinstance(value, int):
+        return ("const", value)
+    if isinstance(value, str):
+        ops = _plan_math(value, slot_for)
+        if ops is None:
+            return None
+        return ("rpn", ops)
+    return None
 
 
 def _plan_instr(plan, compiled, pc, op, a, b, task, slot_for, park):
@@ -526,22 +794,86 @@ def _plan_instr(plan, compiled, pc, op, a, b, task, slot_for, park):
             return park(pc)
         out_slot = slot_for(name)
         item = task.get("item")
-        if isinstance(item, bool):
+        if isinstance(item, list):
+            if len(item) > MAX_LIST_LIT:
+                return park(pc)
+            elems = tuple(_plan_item(e, slot_for) for e in item)
+            if any(e is None for e in elems):
+                return park(pc)
+            return IListNew(out_slot, elems)
+        src = _plan_item(item, slot_for)
+        if src is None:
             return park(pc)
-        if isinstance(item, int):
-            return ISet(out_slot, ("int", item))
-        if not isinstance(item, str):
+        return ISet(out_slot, src)
+
+    if op == isa.OP_LIST_APPEND:
+        name = _literal_name(task.get("output_name"))
+        src_slot = _plan_list_src(task.get("list"), slot_for)
+        item = _plan_item(task.get("item"), slot_for)
+        if name is None or src_slot is None or item is None:
             return park(pc)
-        tmpl = _parse_template(item, slot_for)
-        if tmpl is None:
+        return IListAppend(slot_for(name), src_slot, item)
+
+    if op == isa.OP_LIST_REMOVE:
+        name = _literal_name(task.get("output_name"))
+        src_slot = _plan_list_src(task.get("list"), slot_for)
+        item = _plan_item(task.get("item"), slot_for)
+        if name is None or src_slot is None or item is None:
             return park(pc)
-        if len(tmpl) == 1 and isinstance(tmpl[0], Hole):
-            return ISet(out_slot, ("copy", tmpl[0].slot))
-        if len(tmpl) == 1 and isinstance(tmpl[0], Lit):
-            return ISet(out_slot, ("str", tmpl[0].data))
-        if len(tmpl) == 0:
-            return ISet(out_slot, ("str", b""))
-        return ISet(out_slot, ("tmpl", tmpl))
+        return IListRemove(slot_for(name), src_slot, item)
+
+    if op == isa.OP_LIST_INDEX:
+        name = _literal_name(task.get("output_name"))
+        src_slot = _plan_list_src(task.get("list"), slot_for)
+        if name is None or src_slot is None:
+            return park(pc)
+        index = task.get("index")
+        idx = _plan_item(index, slot_for)
+        if idx is None or idx[0] == "str":
+            # literal strings go through int() on the host; keep them there
+            # unless they're clean decimals
+            if idx is not None and idx[0] == "str":
+                try:
+                    return IListIndex(slot_for(name), src_slot,
+                                      ("const", int(idx[1].decode())))
+                except ValueError:
+                    pass
+            return park(pc)
+        if idx[0] == "int":
+            idx = ("const", idx[1])
+        return IListIndex(slot_for(name), src_slot, idx)
+
+    if op == isa.OP_LIST_SLICE:
+        name = _literal_name(task.get("output_name"))
+        src_slot = _plan_list_src(task.get("list"), slot_for)
+        frm = _plan_bound(task.get("from_index"), slot_for)
+        to = _plan_bound(task.get("to_index"), slot_for)
+        if name is None or src_slot is None or frm is None or to is None:
+            return park(pc)
+        return IListSlice(slot_for(name), src_slot, frm, to)
+
+    if op == isa.OP_LIST_JOIN:
+        name = _literal_name(task.get("output_name"))
+        src_slot = _plan_list_src(task.get("list"), slot_for)
+        parts = []
+        for fld in ("before", "between", "after"):
+            v = task.get(fld)
+            t = _parse_template(v, slot_for) if isinstance(v, str) else None
+            parts.append(t)
+        if name is None or src_slot is None or any(
+                p is None for p in parts):
+            return park(pc)
+        return IListJoin(slot_for(name), src_slot, *parts)
+
+    if op == isa.OP_LIST_CONCAT:
+        name = _literal_name(task.get("output_name"))
+        lists = task.get("lists")
+        if name is None or not isinstance(lists, list) or not lists:
+            return park(pc)
+        srcs = tuple(_plan_list_src(v, slot_for) for v in lists)
+        if any(s is None for s in srcs):
+            return park(pc)
+        return IListConcat(slot_for(name), srcs)
 
     if op in (isa.OP_MATH_RPN, isa.OP_MATH_RPN_LN, isa.OP_MATH):
         name = _literal_name(task.get("output_name"))
@@ -576,18 +908,28 @@ def _plan_instr(plan, compiled, pc, op, a, b, task, slot_for, park):
     # replace_map, unescape, random_choice, list ops, for — exact host
     # execution per lane (leaf tasks resume at pc+1)
     if op == isa.OP_FOR_HEAD:
-        # static literal loops run natively; anything else parks — the
-        # host then executes the WHOLE loop and the ring resumes at the
-        # exit pc (vm/turbo.py service handles for-head parks)
+        # static literal loops and loops over list slots run natively;
+        # anything else parks — the host then executes the WHOLE loop and
+        # the ring resumes at the exit pc (vm/turbo.py service handles
+        # for-head parks)
         loop_id = int(compiled.aux[a])
         exit_pc = int(compiled.aux[a + 1])
         nlm = (task or {}).get("name_list_map") or {}
         pairs = []
+        dyn_pairs = []
         lengths = set()
 
         def plan_pair(name, lst):
             if not isinstance(name, str) or "{" in name or \
-                    ESCAPE in name or not isinstance(lst, list):
+                    ESCAPE in name:
+                return False
+            if isinstance(lst, str):
+                src = _plan_list_src(lst, slot_for)
+                if src is None:
+                    return False
+                dyn_pairs.append((slot_for(name), src))
+                return True
+            if not isinstance(lst, list):
                 return False
             if any(isinstance(e, bool) or not isinstance(e, (int, str))
                    for e in lst):
@@ -600,25 +942,39 @@ def _plan_instr(plan, compiled, pc, op, a, b, task, slot_for, park):
 
         supported = bool(nlm) and all(
             plan_pair(name, lst) for name, lst in nlm.items())
-        if supported and len(lengths) > 1:
+        if not supported:
+            return park(pc)
+        if dyn_pairs:
+            if pairs:
+                return park(pc)   # mixed literal+dynamic: host path
+            # snapshot semantics: the host captures the lists at entry —
+            # equal to per-visit re-reads ONLY when the body can't write
+            # the looped slots (checked in the plan post-pass)
+            return IForHeadDyn(loop_id=loop_id, exit_pc=exit_pc,
+                               pairs=tuple(dyn_pairs))
+        if len(lengths) > 1:
             # differing lengths: the reference raises at runtime — the
             # exact AssertionError comes from the host executor
             return park(pc)
-        if supported:
-            n = lengths.pop() if lengths else 0
-            if n == 0:
-                return IGoto(exit_pc)
-            if n > 32 or n * max(len(pairs), 1) > 96:
-                return park(pc)  # branch would dwarf the kernel
-            return IForHead(loop_id=loop_id, n=n, exit_pc=exit_pc,
-                            pairs=tuple(pairs))
-        return park(pc)
+        n = lengths.pop() if lengths else 0
+        if n == 0:
+            return IGoto(exit_pc)
+        if n > 32 or n * max(len(pairs), 1) > 96:
+            return park(pc)  # branch would dwarf the kernel
+        return IForHead(loop_id=loop_id, n=n, exit_pc=exit_pc,
+                        pairs=tuple(pairs))
     if op == isa.OP_FOR_NEXT:
         return IForNext(loop_id=b, head_pc=a)
-    if op in (isa.OP_PAR_BEGIN, isa.OP_THREAD_END):
-        # thread lanes live in the general VM (vm/step.py scheduler); a
-        # turbo park here would lose the lane bookkeeping
-        raise NotTurbo("parallel blocks not on the turbo path")
+    if op == isa.OP_PAR_BEGIN:
+        aux = compiled.aux
+        mode, k = int(aux[a]), int(aux[a + 1])
+        return IParBegin(mode=mode, k=k, join_pc=int(aux[a + 2]),
+                         entries=tuple(int(aux[a + 5 + j])
+                                       for j in range(k)),
+                         loop_lo=int(aux[a + 3]), loop_hi=int(aux[a + 4]))
+    if op == isa.OP_THREAD_END:
+        aux = compiled.aux
+        return IThreadEnd(k=int(aux[a + 1]), join_pc=int(aux[a + 2]))
     return park(pc)
 
 
@@ -672,8 +1028,13 @@ def _plan_math(text, slot_for) -> Optional[tuple]:
             if slot is None:
                 return None
             ops.append(("slot", slot))
-        elif kind in (isa.RPN_LENGTH, isa.RPN_MINLIST, isa.RPN_MAXLIST):
-            return None  # list functions
+        elif kind == isa.RPN_LENGTH:
+            slot = slot_for(recorded[x])
+            if slot is None:
+                return None
+            ops.append(("length", slot))
+        elif kind in (isa.RPN_MINLIST, isa.RPN_MAXLIST):
+            return None  # min/max over a list value: host path
         else:
             name = {isa.RPN_ADD: "add", isa.RPN_SUB: "sub",
                     isa.RPN_MUL: "mul", isa.RPN_DIV: "div",

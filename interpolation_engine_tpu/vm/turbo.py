@@ -26,13 +26,24 @@ with the exact host executor and resumes — same protocol as vm/driver.py.
 Layouts (N instances, S static slots, W slot-string bytes, OW output bytes;
 int32 everywhere — Mosaic has no uint8 vectors, benchmarks/mosaic_probe2):
 
-  regs : (N, 128)   ALL per-lane scalars packed into one lane-padded block:
-                    col 0 pc, 1 status, 2 steps, 3 out_len, then per slot s
-                    4+s = type, 4+S+s = int value, 4+2S+s = string length.
-                    (Separate (N,1)/(N,S) arrays each pad to 128 lanes
-                    physically — packing them 8× over blew scoped VMEM.)
-  sbuf : (S, N, W)  slot string bytes, one per int32 lane
+  regs : (N, REGW)  ALL per-lane scalars packed into one lane-padded block
+                    (REGW = multiple of 128 computed by _Cols): pc, status,
+                    steps, out_len, parallel-lane bookkeeping (cur_tid,
+                    par_mode, par_join, par_epoch, per-lane tpc/tstate/
+                    tparg), per-slot type/int/len, for-loop counters, and
+                    per-list-slot element type/int/len cells. (Separate
+                    (N,1)/(N,S) arrays each pad to 128 lanes physically —
+                    packing them 8× over blew scoped VMEM.)
+  sbuf : (R, N, W)  byte planes: one row per str/mix slot, then packed
+                    element rows per list slot (width//elem_width elements
+                    per row)
   out  : (N, OW)    output buffer bytes
+
+Parallel blocks run as in-kernel thread lanes mirroring the general VM's
+scheduler (vm/step.py h_par_begin/h_thread_end/thread_yield); an instance
+that PARKS inside a parallel block escapes to the general engine, whose
+ring is the exact asyncio twin — device compute stays fast, park-heavy
+tails keep exact semantics.
 """
 
 from __future__ import annotations
@@ -50,26 +61,40 @@ from ..compiler.turbo import (
     IClear,
     IDelete,
     IForHead,
+    IForHeadDyn,
     IForNext,
     IGoto,
     IGotoMap,
     IHalt,
+    IListAppend,
+    IListConcat,
+    IListIndex,
+    IListJoin,
+    IListNew,
+    IListRemove,
+    IListSlice,
     IMath,
     INop,
     IPark,
+    IParBegin,
     IPrint,
     ISet,
+    IThreadEnd,
+    K_LIST,
     Lit,
     NotTurbo,
     TurboPlan,
 )
-from .config import DONE, PARKED, RUNNING
-from .state import T_EMPTY, T_INT, T_STR
+from .config import (DONE, PARKED, PM_DRAIN, PM_NONE, PM_RACE, PM_WAIT,
+                     RUNNING, T_DONE, T_FREE, T_NEW, T_READY, T_WAIT)
+from .state import T_EMPTY, T_INT, T_LIST, T_STR
 
 BRACE_OPEN, BRACE_CLOSE, BACKSLASH = 123, 125, 92
 
-REGW = 128
-C_PC, C_STATUS, C_STEPS, C_OUTLEN, C_BASE = 0, 1, 2, 3, 4
+# fixed control columns; everything after is computed by _Cols
+C_PC, C_STATUS, C_STEPS, C_OUTLEN = 0, 1, 2, 3
+C_CURTID, C_PARMODE, C_PARJOIN, C_PAREPOCH = 4, 5, 6, 7
+C_BASE = 8
 
 
 @dataclass(frozen=True)
@@ -78,44 +103,105 @@ class TurboConfig:
     width: int = 128    # slot string bytes (lane dimension; keep ×128)
     out_width: int = 256
     k_steps: int = 32   # VM steps per kernel launch
+    list_cap: int = 12  # elements per list slot
+    elem_width: int = 32  # bytes per list element (packed width//this per row)
 
 
 class _Cols:
-    """Register-column layout for S slots (4 control + 3S slot scalars +
-    n_loops for-loop counters), plus the plan's slot-kind table: byte
-    planes exist only for slots that can ever hold a string (kind
-    'str'/'mix'); 'int' and 'none' slots are register-only, and branch
-    builders skip their dead paths entirely."""
+    """Register-column layout (lane-padded to a multiple of 128):
 
-    def __init__(self, S: int, kinds=None, n_loops: int = 0):
-        if C_BASE + 3 * S + n_loops > REGW:
-            raise NotTurbo(f"{S} slots + {n_loops} loops exceed the "
-                           f"register block")
+      0-3   pc, status, steps, out_len
+      4-7   cur_tid, par_mode, par_join, par_epoch
+      8..   tpc[NT], tstate[NT], tparg[NT]      (parallel thread lanes)
+      then  stype[S], sint[S], slen[S]          (slen of a list = count)
+      then  loop counters [n_loops]
+      then  per list slot: etype[E], eint[E], elen[E]
+
+    plus the plan's slot-kind table: byte planes exist only for slots that
+    can ever hold a string (kind 'str'/'mix'); 'int' and 'none' slots are
+    register-only, and branch builders skip their dead paths entirely.
+    List slots own packed element byte rows: PACK = width // elem_width
+    elements per row, ceil(E / PACK) rows each, appended after the string
+    rows."""
+
+    def __init__(self, S: int, kinds=None, n_loops: int = 0,
+                 nt: int = 0, list_cap: int = 12, width: int = 128,
+                 elem_width: int = 32):
         self.S = S
         self.n_loops = n_loops
+        self.nt = nt
+        self.E = list_cap
+        self.ew = elem_width
+        self.pack = max(width // elem_width, 1)
+        self.width = width
         self.kinds = list(kinds) if kinds else ["mix"] * S
         if len(self.kinds) < S:
             self.kinds += ["mix"] * (S - len(self.kinds))
+        self._threads0 = C_BASE
+        self._slots0 = self._threads0 + 3 * nt
+        self._loops0 = self._slots0 + 3 * S
+        self._lists0 = self._loops0 + n_loops
+        self.list_ord = {}
+        for s, k in enumerate(self.kinds):
+            if k == "list":
+                self.list_ord[s] = len(self.list_ord)
+        n_cols = self._lists0 + 3 * self.E * len(self.list_ord)
+        self.regw = max(((n_cols + 127) // 128) * 128, 128)
+        if self.regw > 512:
+            raise NotTurbo(
+                f"{S} slots / {len(self.list_ord)} lists / {nt} lanes "
+                f"need {n_cols} register columns (> 512)")
         self.str_row = {}
         for s, k in enumerate(self.kinds):
             if k in ("str", "mix"):
                 self.str_row[s] = len(self.str_row)
-        self.n_rows = max(len(self.str_row), 1)
+        self.elem_rows = (self.E + self.pack - 1) // self.pack
+        self.list_row0 = {}   # list slot -> first element row
+        nrows = len(self.str_row)
+        for s in sorted(self.list_ord):
+            self.list_row0[s] = nrows
+            nrows += self.elem_rows
+        self.n_rows = max(nrows, 1)
 
     def stype(self, s: int) -> int:
-        return C_BASE + s
+        return self._slots0 + s
 
     def sint(self, s: int) -> int:
-        return C_BASE + self.S + s
+        return self._slots0 + self.S + s
 
     def slen(self, s: int) -> int:
-        return C_BASE + 2 * self.S + s
+        return self._slots0 + 2 * self.S + s
 
     def loop(self, loop_id: int) -> int:
-        return C_BASE + 3 * self.S + min(loop_id, max(self.n_loops - 1, 0))
+        return self._loops0 + min(loop_id, max(self.n_loops - 1, 0))
 
     def kind(self, s: int) -> str:
         return self.kinds[s]
+
+    # thread lanes
+    def tpc(self, lane: int) -> int:
+        return self._threads0 + lane
+
+    def tstate(self, lane: int) -> int:
+        return self._threads0 + self.nt + lane
+
+    def tparg(self, lane: int) -> int:
+        return self._threads0 + 2 * self.nt + lane
+
+    # list element cells
+    def etype(self, s: int, e: int) -> int:
+        return self._lists0 + 3 * self.E * self.list_ord[s] + e
+
+    def eint(self, s: int, e: int) -> int:
+        return self._lists0 + 3 * self.E * self.list_ord[s] + self.E + e
+
+    def elen(self, s: int, e: int) -> int:
+        return self._lists0 + 3 * self.E * self.list_ord[s] + 2 * self.E + e
+
+    def elem_pos(self, s: int, e: int) -> tuple:
+        """(byte row, byte offset) of element e of list slot s."""
+        return (self.list_row0[s] + e // self.pack,
+                (e % self.pack) * self.ew)
 
 
 class TurboBatch(NamedTuple):
@@ -144,7 +230,7 @@ def _rd(ts: _TS, c: int):
 
 
 def _wr(regs, c: int, val, mask):
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, REGW), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, regs.shape[1]), 1)
     return jnp.where(mask & (lane == c), val, regs)
 
 
@@ -178,10 +264,16 @@ class _LitTable:
                         if kind == "str":
                             self.register(v)
             elif isinstance(ins, ISet):
-                if ins.src[0] == "str":
-                    self.register(ins.src[1])
-                elif ins.src[0] == "tmpl":
-                    self._collect_tmpl(ins.src[1])
+                self._collect_item(ins.src)
+            elif isinstance(ins, IListNew):
+                for e in ins.elems:
+                    self._collect_item(e)
+            elif isinstance(ins, (IListAppend, IListRemove)):
+                self._collect_item(ins.item)
+            elif isinstance(ins, IListJoin):
+                self._collect_tmpl(ins.before)
+                self._collect_tmpl(ins.between)
+                self._collect_tmpl(ins.after)
             elif isinstance(ins, IPrint):
                 self._collect_tmpl(ins.tmpl)
             elif isinstance(ins, IGotoMap):
@@ -189,6 +281,12 @@ class _LitTable:
                 for pat, _tpc in ins.entries:
                     for part in pat[1:]:
                         self.register(part)
+
+    def _collect_item(self, src) -> None:
+        if src[0] == "str":
+            self.register(src[1])
+        elif src[0] == "tmpl":
+            self._collect_tmpl(src[1])
 
     def _collect_tmpl(self, tmpl):
         for seg in tmpl:
@@ -263,6 +361,112 @@ def _has_brace_or_escape(buf, ln, t: int, w: int):
     return jnp.any(bad, axis=1, keepdims=True)
 
 
+def _append(buf, ln, sbuf, sln, t: int, w: int):
+    """Append (sbuf, sln) onto (buf, ln) at the dynamic offset ln."""
+    pos = _iota(t, w)
+    shifted = jnp.take_along_axis(sbuf, jnp.clip(pos - ln, 0, w - 1), axis=1)
+    return jnp.where((pos >= ln) & (pos < ln + sln), shifted, buf), ln + sln
+
+
+def _elem_bytes_static(ts: _TS, cols: _Cols, s: int, e: int, t: int,
+                       w: int):
+    """Left-aligned byte buffer of element e (STATIC index) of list slot
+    s; bytes past the element's length are zero."""
+    row, off = cols.elem_pos(s, e)
+    src = ts.strs[row]
+    if off:
+        pos = _iota(t, w)
+        src = jnp.take_along_axis(src, jnp.clip(pos + off, 0, w - 1),
+                                  axis=1)
+    el = _rd(ts, cols.elen(s, e))
+    pos = _iota(t, w)
+    return jnp.where(pos < jnp.minimum(el, cols.ew), src, 0)
+
+
+def _elem_read(ts: _TS, cols: _Cols, s: int, j, t: int, w: int):
+    """Read element at DYNAMIC 0-based index j of list slot s →
+    (etype, eint, elen, ebuf) with ebuf left-aligned (t, w)."""
+    zero = j * 0
+    et, ei, el = zero, zero, zero
+    for e in range(cols.E):
+        sel = j == e
+        et = jnp.where(sel, _rd(ts, cols.etype(s, e)), et)
+        ei = jnp.where(sel, _rd(ts, cols.eint(s, e)), ei)
+        el = jnp.where(sel, _rd(ts, cols.elen(s, e)), el)
+    row0 = cols.list_row0[s]
+    acc = ts.strs[row0]
+    for r in range(1, cols.elem_rows):
+        acc = jnp.where((j // cols.pack) == r, ts.strs[row0 + r], acc)
+    off = (j % cols.pack) * cols.ew
+    pos = _iota(t, w)
+    ebuf = jnp.take_along_axis(acc, jnp.clip(pos + off, 0, w - 1), axis=1)
+    ebuf = jnp.where(pos < jnp.minimum(el, cols.ew), ebuf, 0)
+    return et, ei, el, ebuf
+
+
+def _repr_list(ts: _TS, cols: _Cols, s: int, t: int, w: int):
+    """Python ``str(list)`` of list slot s → (buf, ln, park): ``['a', 1]``
+    — the reference stringifies interpolated values with str()
+    (interpolation_engine.py:531), so lists render as their repr. Parks on
+    string elements whose repr needs escaping or quote switching (bytes
+    outside printable ASCII, ``'`` or ``\\``) — host exact."""
+    pos = _iota(t, w)
+    zero_i = _rd(ts, C_PC) * 0
+    n = _rd(ts, cols.slen(s))
+    park = zero_i == 1
+    buf = jnp.where(pos == 0, 91, 0)            # '['
+    ln = zero_i + 1
+    one = zero_i + 1
+    for e in range(cols.E):
+        live = e < n
+        if e > 0:
+            sep = jnp.where(pos == 0, 44, jnp.where(pos == 1, 32, 0))
+            buf, ln = _append(buf, ln, sep, jnp.where(live, 2, 0), t, w)
+        et = _rd(ts, cols.etype(s, e))
+        el = _rd(ts, cols.elen(s, e))
+        ebuf = _elem_bytes_static(ts, cols, s, e, t, w)
+        bad = jnp.any(((ebuf < 32) | (ebuf > 126) | (ebuf == 39) |
+                       (ebuf == 92)) & (pos < el),
+                      axis=1, keepdims=True)
+        is_str = et == T_STR
+        park = park | (live & is_str & bad)
+        quote = jnp.where(pos == 0, 39, 0)      # '\''
+        q_len = jnp.where(live & is_str, one, 0)
+        ibuf, iln = _int_to_dec(_rd(ts, cols.eint(s, e)), t, w)
+        body = jnp.where(is_str, ebuf, ibuf)
+        blen = jnp.where(live, jnp.where(is_str, el, iln), 0)
+        buf, ln = _append(buf, ln, quote, q_len, t, w)
+        buf, ln = _append(buf, ln, body, blen, t, w)
+        buf, ln = _append(buf, ln, quote, q_len, t, w)
+    close = jnp.where(pos == 0, 93, 0)          # ']'
+    buf, ln = _append(buf, ln, close, one, t, w)
+    return buf, jnp.minimum(ln, w), park | (ln > w)
+
+
+def _join_elems(ts: _TS, cols: _Cols, s: int, t: int, w: int,
+                between=None):
+    """''.join (optionally between-separated) of list slot s's elements →
+    (buf, ln, park). Parks when an element isn't a string (host
+    TypeError), or on overflow (ln > w, checked by the caller via ln)."""
+    zero_i = _rd(ts, C_PC) * 0
+    n = _rd(ts, cols.slen(s))
+    buf = _iota(t, w) * 0
+    ln = zero_i
+    park = zero_i == 1
+    for e in range(cols.E):
+        live = e < n
+        if between is not None and e > 0:
+            bbuf, bln = between
+            buf, ln = _append(buf, ln, bbuf,
+                              jnp.where(live, bln, 0), t, w)
+        et = _rd(ts, cols.etype(s, e))
+        el = _rd(ts, cols.elen(s, e))
+        park = park | (live & (et != T_STR))
+        ebuf = _elem_bytes_static(ts, cols, s, e, t, w)
+        buf, ln = _append(buf, ln, ebuf, jnp.where(live, el, 0), t, w)
+    return buf, jnp.minimum(ln, w), park | (ln > w)
+
+
 def _render(ts: _TS, cols: _Cols, tmpl, t: int, w: int, lit):
     """Evaluate a segmented template → (buf, len, missing, park).
 
@@ -294,6 +498,15 @@ def _render(ts: _TS, cols: _Cols, tmpl, t: int, w: int, lit):
             if k == "none":
                 # referenced but never produced: statically missing
                 sbuf, sln = buf * 0, zero_i
+            elif k == "list":
+                # str(list) in a template is the list's repr
+                # (interpolation_engine.py:531)
+                jbuf, jln, jpark = _repr_list(ts, cols, s, t, w)
+                is_list = st == T_LIST
+                sbuf = jbuf
+                sln = jnp.where(is_list, jln, 0)
+                park = park | (is_list & jpark) | \
+                    (is_list & _has_brace_or_escape(jbuf, jln, t, w))
             elif k == "int":
                 sbuf, sln = _int_to_dec(_rd(ts, cols.sint(s)), t, w)
             elif k == "str":
@@ -381,12 +594,142 @@ def _match(pattern, buf, ln, t: int, w: int, lit):
     hit = _match_at(pattern, buf, ln, t, w, lit)
     if pattern[0] in ("any", "prefix"):
         return hit
-    last = jnp.take_along_axis(buf, jnp.clip(ln - 1, 0, w - 1), axis=1)
+    # last byte via mask-reduce (Mosaic gathers need full-shape indices)
+    pos = _iota(t, w)
+    last = jnp.sum(jnp.where(pos == ln - 1, buf, 0), axis=1,
+                   keepdims=True)
     has_nl = (ln > 0) & (last == 10)
     trimmed = jnp.where(has_nl, jnp.maximum(ln - 1, 0), ln)
     hit_trim = _match_at(pattern, jnp.where(_iota(t, w) < trimmed, buf, 0),
                          trimmed, t, w, lit)
     return hit | (has_nl & hit_trim)
+
+
+# ---------------------------------------------------------------------------
+# shared evaluators (item sources, RPN) — used by set/math/list branches
+# ---------------------------------------------------------------------------
+
+def _eval_item(ts: _TS, cols: _Cols, src: tuple, t: int, w: int, lit):
+    """Evaluate a scalar item source → (vt, vi, vbuf, vln, parkm).
+    vbuf is None for int values (byte plane untouched). A 'copy' of a
+    list-kind slot parks (callers that support whole-list copies — ISet —
+    special-case it before calling)."""
+    zero_i = _rd(ts, C_PC) * 0
+    parkm = zero_i == 1
+    vbuf = None
+    if src[0] == "int":
+        vt, vi, vln = zero_i + T_INT, zero_i + src[1], zero_i
+    elif src[0] == "str":
+        vt, vi = zero_i + T_STR, zero_i
+        vbuf, ln_c = lit(src[1])
+        vln = zero_i + ln_c
+    elif src[0] == "copy":
+        s = src[1]
+        k = cols.kind(s)
+        st = _rd(ts, cols.stype(s))
+        parkm = parkm | (st == T_EMPTY)  # set of a missing key raises
+        if k == "list":
+            parkm = parkm | (zero_i == 0)  # nested list: host path
+            vt, vi, vln = st, zero_i, zero_i
+        else:
+            vt, vi = st, _rd(ts, cols.sint(s))
+            if s in cols.str_row:
+                vbuf, vln = ts.strs[cols.str_row[s]], _rd(ts, cols.slen(s))
+            else:
+                vln = zero_i
+    else:  # tmpl
+        vbuf, vln, missing, p = _render(ts, cols, src[1], t, w, lit)
+        parkm = parkm | missing | p
+        vt, vi = zero_i + T_STR, zero_i
+    return vt, vi, vbuf, vln, parkm
+
+
+def _eval_rpn(ts: _TS, cols: _Cols, ops: tuple, t: int, w: int):
+    """Evaluate unrolled RPN over int slots → (value, parkm)."""
+    zero_i = _rd(ts, C_PC) * 0
+    parkm = zero_i == 1
+    stack = []
+    for opn in ops:
+        o = opn[0]
+        if o == "const":
+            stack.append(zero_i + opn[1])
+        elif o == "slot":
+            s = opn[1]
+            st = _rd(ts, cols.stype(s))
+            if s in cols.str_row:
+                parsed, pok = _parse_dec(
+                    ts.strs[cols.str_row[s]],
+                    _rd(ts, cols.slen(s)), t, w)
+                val = jnp.where(st == T_INT,
+                                _rd(ts, cols.sint(s)), parsed)
+                parkm = parkm | (st == T_EMPTY) | \
+                    ((st == T_STR) & ~pok) | (st == T_LIST)
+            else:
+                # int/none/list slot: digit-string parsing is dead code
+                val = _rd(ts, cols.sint(s))
+                parkm = parkm | (st != T_INT)
+            stack.append(val)
+        elif o == "length":
+            s = opn[1]
+            st = _rd(ts, cols.stype(s))
+            # length() asserts its argument is a list (core/math_eval.py)
+            parkm = parkm | (st != T_LIST)
+            stack.append(_rd(ts, cols.slen(s)))
+        elif o == "neg":
+            stack.append(-stack.pop())
+        elif o == "sign":
+            stack.append(jnp.sign(stack.pop()))
+        else:
+            b_ = stack.pop()
+            a_ = stack.pop()
+            if o == "add":
+                stack.append(a_ + b_)
+            elif o == "sub":
+                stack.append(a_ - b_)
+            elif o == "mul":
+                stack.append(a_ * b_)
+            elif o == "min2":
+                stack.append(jnp.minimum(a_, b_))
+            elif o == "max2":
+                stack.append(jnp.maximum(a_, b_))
+            else:
+                safe = jnp.where(b_ == 0, 1, b_)
+                q = jnp.floor_divide(a_, safe)
+                r = jnp.remainder(a_, safe)
+                if o == "div":
+                    # non-exact division: host (float tolerance)
+                    parkm = parkm | (b_ == 0) | (r != 0)
+                    stack.append(q)
+                else:  # mod (Python floor-mod; ÷0 → host error)
+                    parkm = parkm | (b_ == 0)
+                    stack.append(r)
+    return stack.pop(), parkm
+
+
+def _list_cell_writes(ts: _TS, cols: _Cols, s: int, values: list):
+    """Register writes for element cells of list slot s. values[e] =
+    (vt, vi, vln) traced scalars (callers guarantee ≤ E entries)."""
+    writes = []
+    for e, (vt, vi, vln) in enumerate(values):
+        writes += [(cols.etype(s, e), vt), (cols.eint(s, e), vi),
+                   (cols.elen(s, e), vln)]
+    return writes
+
+
+def _place_elem(strs: list, cols: _Cols, s: int, e: int, vbuf, mask,
+                t: int, w: int):
+    """Write left-aligned element bytes vbuf into the packed cell of
+    STATIC element e of list slot s (whole cell window is overwritten
+    for masked lanes)."""
+    row, off = cols.elem_pos(s, e)
+    pos = _iota(t, w)
+    if off:
+        shifted = jnp.take_along_axis(
+            vbuf, jnp.clip(pos - off, 0, w - 1), axis=1)
+    else:
+        shifted = vbuf
+    window = (pos >= off) & (pos < off + cols.ew)
+    strs[row] = jnp.where(mask & window, shifted, strs[row])
 
 
 # ---------------------------------------------------------------------------
@@ -472,34 +815,44 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
         return br
 
     if isinstance(instr, ISet):
-        kind = instr.src[0]
         out_slot = instr.out_slot
+
+        if instr.src[0] == "copy" and cols.kind(instr.src[1]) == "list":
+            # whole-list copy between element pools
+            src_slot = instr.src[1]
+
+            def br(ts):
+                act = active_of(ts)
+                st = _rd(ts, cols.stype(src_slot))
+                parkm = act & (st == T_EMPTY)
+                ok = act & ~parkm
+                writes = [(cols.stype(out_slot), st),
+                          (cols.sint(out_slot), _rd(ts, cols.sint(src_slot))),
+                          (cols.slen(out_slot), _rd(ts, cols.slen(src_slot)))]
+                strs = None
+                if out_slot != src_slot:
+                    for e in range(cols.E):
+                        writes += [
+                            (cols.etype(out_slot, e),
+                             _rd(ts, cols.etype(src_slot, e))),
+                            (cols.eint(out_slot, e),
+                             _rd(ts, cols.eint(src_slot, e))),
+                            (cols.elen(out_slot, e),
+                             _rd(ts, cols.elen(src_slot, e)))]
+                    strs = list(ts.strs)
+                    for r in range(cols.elem_rows):
+                        dst = cols.list_row0[out_slot] + r
+                        src = cols.list_row0[src_slot] + r
+                        strs[dst] = jnp.where(ok, strs[src], strs[dst])
+                    strs = tuple(strs)
+                return _advance(ts, cols, act, ok, parkm, next_pc,
+                                writes=writes, strs=strs)
+            return br
 
         def br(ts):
             act = active_of(ts)
-            zero_i = _rd(ts, C_PC) * 0
-            parkm = zero_i == 1
-            vbuf = None  # int values leave the byte plane untouched
-            if kind == "int":
-                vt, vi, vln = T_INT, zero_i + instr.src[1], 0
-            elif kind == "str":
-                vt, vi = T_STR, 0
-                vbuf, vln = lit(instr.src[1])
-            elif kind == "copy":
-                s = instr.src[1]
-                st = _rd(ts, cols.stype(s))
-                parkm = parkm | (st == T_EMPTY)  # set of a missing key raises
-                vt, vi = st, _rd(ts, cols.sint(s))
-                if s in cols.str_row:
-                    vbuf, vln = (ts.strs[cols.str_row[s]],
-                                 _rd(ts, cols.slen(s)))
-                else:
-                    vln = 0  # int/none source: byte plane untouched
-            else:  # tmpl
-                vbuf, vln, missing, p = _render(ts, cols, instr.src[1],
-                                                t, w, lit)
-                parkm = parkm | missing | p
-                vt, vi = T_STR, 0
+            vt, vi, vbuf, vln, parkm = _eval_item(ts, cols, instr.src,
+                                                  t, w, lit)
             ok = act & ~parkm
             parkm = act & ~ok
             strs = None
@@ -521,58 +874,7 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
 
         def br(ts):
             act = active_of(ts)
-            zero_i = _rd(ts, C_PC) * 0
-            parkm = zero_i == 1
-            stack = []
-            for opn in ops:
-                o = opn[0]
-                if o == "const":
-                    stack.append(zero_i + opn[1])
-                elif o == "slot":
-                    s = opn[1]
-                    st = _rd(ts, cols.stype(s))
-                    if s in cols.str_row:
-                        parsed, pok = _parse_dec(
-                            ts.strs[cols.str_row[s]],
-                            _rd(ts, cols.slen(s)), t, w)
-                        val = jnp.where(st == T_INT,
-                                        _rd(ts, cols.sint(s)), parsed)
-                        parkm = parkm | (st == T_EMPTY) | \
-                            ((st == T_STR) & ~pok)
-                    else:
-                        # int/none slot: digit-string parsing is dead code
-                        val = _rd(ts, cols.sint(s))
-                        parkm = parkm | (st != T_INT)
-                    stack.append(val)
-                elif o == "neg":
-                    stack.append(-stack.pop())
-                elif o == "sign":
-                    stack.append(jnp.sign(stack.pop()))
-                else:
-                    b_ = stack.pop()
-                    a_ = stack.pop()
-                    if o == "add":
-                        stack.append(a_ + b_)
-                    elif o == "sub":
-                        stack.append(a_ - b_)
-                    elif o == "mul":
-                        stack.append(a_ * b_)
-                    elif o == "min2":
-                        stack.append(jnp.minimum(a_, b_))
-                    elif o == "max2":
-                        stack.append(jnp.maximum(a_, b_))
-                    else:
-                        safe = jnp.where(b_ == 0, 1, b_)
-                        q = jnp.floor_divide(a_, safe)
-                        r = jnp.remainder(a_, safe)
-                        if o == "div":
-                            # non-exact division: host (float tolerance)
-                            parkm = parkm | (b_ == 0) | (r != 0)
-                            stack.append(q)
-                        else:  # mod (Python floor-mod; ÷0 → host error)
-                            parkm = parkm | (b_ == 0)
-                            stack.append(r)
-            val = stack.pop()
+            val, parkm = _eval_rpn(ts, cols, ops, t, w)
             ok = act & ~parkm
             parkm = act & ~ok
             return _advance(ts, cols, act, ok, parkm, next_pc,
@@ -716,6 +1018,444 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
                             writes=[(lc, _rd(ts, lc) + 1)])
         return br
 
+    if isinstance(instr, IListNew):
+        out_slot = instr.out_slot
+        elems = instr.elems
+        if len(elems) > tcfg.list_cap:
+            raise NotTurbo(f"literal list of {len(elems)} elements "
+                           f"exceeds list_cap={tcfg.list_cap}")
+
+        def br(ts):
+            act = active_of(ts)
+            zero_i = _rd(ts, C_PC) * 0
+            parkm = zero_i == 1
+            values, bufs = [], []
+            for src in elems:
+                vt, vi, vbuf, vln, p = _eval_item(ts, cols, src, t, w, lit)
+                parkm = parkm | p | (vln > cols.ew)
+                values.append((vt, vi, vln))
+                bufs.append(vbuf)
+            ok = act & ~parkm
+            parkm = act & ~ok
+            strs = list(ts.strs)
+            for e, vbuf in enumerate(bufs):
+                if vbuf is not None:
+                    _place_elem(strs, cols, out_slot, e, vbuf, ok, t, w)
+            writes = _list_cell_writes(ts, cols, out_slot, values)
+            writes += [(cols.stype(out_slot), T_LIST),
+                       (cols.sint(out_slot), 0),
+                       (cols.slen(out_slot), len(elems))]
+            return _advance(ts, cols, act, ok, parkm, next_pc,
+                            writes=writes, strs=tuple(strs))
+        return br
+
+    if isinstance(instr, IListAppend):
+        out_slot, src_slot, item = instr.out_slot, instr.src_slot, instr.item
+
+        def br(ts):
+            act = active_of(ts)
+            zero_i = _rd(ts, C_PC) * 0
+            st = _rd(ts, cols.stype(src_slot))
+            n = _rd(ts, cols.slen(src_slot))
+            vt, vi, vbuf, vln, parkm = _eval_item(ts, cols, item, t, w, lit)
+            parkm = parkm | (st != T_LIST) | (n >= cols.E) | \
+                (vln > cols.ew)
+            ok = act & ~parkm
+            parkm = act & ~ok
+            writes = [(cols.stype(out_slot), T_LIST),
+                      (cols.sint(out_slot), 0),
+                      (cols.slen(out_slot), n + 1)]
+            strs = list(ts.strs)
+            if out_slot != src_slot:
+                for r in range(cols.elem_rows):
+                    dst = cols.list_row0[out_slot] + r
+                    src = cols.list_row0[src_slot] + r
+                    strs[dst] = jnp.where(ok, strs[src], strs[dst])
+            if vbuf is None:
+                vbuf = _iota(t, w) * 0
+            for e in range(cols.E):
+                sel = n == e
+                writes += [
+                    (cols.etype(out_slot, e),
+                     jnp.where(sel, vt, _rd(ts, cols.etype(src_slot, e)))),
+                    (cols.eint(out_slot, e),
+                     jnp.where(sel, vi, _rd(ts, cols.eint(src_slot, e)))),
+                    (cols.elen(out_slot, e),
+                     jnp.where(sel, vln, _rd(ts, cols.elen(src_slot, e))))]
+                _place_elem(strs, cols, out_slot, e, vbuf, ok & sel, t, w)
+            return _advance(ts, cols, act, ok, parkm, next_pc,
+                            writes=writes, strs=tuple(strs))
+        return br
+
+    if isinstance(instr, IListRemove):
+        out_slot, src_slot, item = instr.out_slot, instr.src_slot, instr.item
+
+        def br(ts):
+            act = active_of(ts)
+            zero_i = _rd(ts, C_PC) * 0
+            st = _rd(ts, cols.stype(src_slot))
+            n = _rd(ts, cols.slen(src_slot))
+            vt, vi, vbuf, vln, parkm = _eval_item(ts, cols, item, t, w, lit)
+            parkm = parkm | (st != T_LIST)
+            # first matching element (int == int by value, str == str by
+            # bytes; int never equals str — list.remove uses ==)
+            m = zero_i + cols.E      # E = "not found"
+            for e in reversed(range(cols.E)):
+                et = _rd(ts, cols.etype(src_slot, e))
+                ei = _rd(ts, cols.eint(src_slot, e))
+                el = _rd(ts, cols.elen(src_slot, e))
+                int_eq = (vt == T_INT) & (et == T_INT) & (ei == vi)
+                if vbuf is not None:
+                    ebuf = _elem_bytes_static(ts, cols, src_slot, e, t, w)
+                    str_eq = (vt == T_STR) & (et == T_STR) & (el == vln) & \
+                        jnp.all(ebuf == jnp.where(_iota(t, w) < vln, vbuf,
+                                                  0),
+                                axis=1, keepdims=True)
+                else:
+                    str_eq = zero_i == 1
+                m = jnp.where((e < n) & (int_eq | str_eq), e, m)
+            found = m < cols.E
+            new_n = jnp.where(found, n - 1, n)
+            ok = act & ~parkm
+            parkm = act & ~ok
+            writes = [(cols.stype(out_slot), T_LIST),
+                      (cols.sint(out_slot), 0),
+                      (cols.slen(out_slot), new_n)]
+            strs = list(ts.strs)
+            for e in range(cols.E):
+                j = jnp.where(found & (e >= m), e + 1, e)
+                et, ei, el, ebuf = _elem_read(ts, cols, src_slot,
+                                              jnp.minimum(j, cols.E - 1),
+                                              t, w)
+                writes += [(cols.etype(out_slot, e), et),
+                           (cols.eint(out_slot, e), ei),
+                           (cols.elen(out_slot, e), el)]
+                _place_elem(strs, cols, out_slot, e, ebuf,
+                            ok & (e < new_n), t, w)
+            return _advance(ts, cols, act, ok, parkm, next_pc,
+                            writes=writes, strs=tuple(strs))
+        return br
+
+    if isinstance(instr, IListIndex):
+        out_slot, src_slot, index = instr.out_slot, instr.src_slot, \
+            instr.index
+
+        def br(ts):
+            act = active_of(ts)
+            zero_i = _rd(ts, C_PC) * 0
+            st = _rd(ts, cols.stype(src_slot))
+            n = _rd(ts, cols.slen(src_slot))
+            parkm = st != T_LIST
+            if index[0] == "const":
+                idx = zero_i + index[1]
+            elif index[0] == "copy":
+                s = index[1]
+                ist = _rd(ts, cols.stype(s))
+                if s in cols.str_row:
+                    parsed, pok = _parse_dec(ts.strs[cols.str_row[s]],
+                                             _rd(ts, cols.slen(s)), t, w)
+                    idx = jnp.where(ist == T_INT, _rd(ts, cols.sint(s)),
+                                    parsed)
+                    parkm = parkm | (ist == T_EMPTY) | (ist == T_LIST) | \
+                        ((ist == T_STR) & ~pok)
+                else:
+                    idx = _rd(ts, cols.sint(s))
+                    parkm = parkm | (ist != T_INT)
+            else:  # tmpl → rendered decimal (host does int(str))
+                rbuf, rln, missing, p = _render(ts, cols, index[1], t, w,
+                                                lit)
+                idx, pok = _parse_dec(rbuf, rln, t, w)
+                parkm = parkm | missing | p | ~pok
+            # 1-based; 0 raises on the host; negatives from the end
+            parkm = parkm | (idx == 0)
+            j = jnp.where(idx > 0, idx - 1, n + idx)
+            parkm = parkm | (j < 0) | (j >= n)   # host IndexError
+            et, ei, el, ebuf = _elem_read(
+                ts, cols, src_slot, jnp.clip(j, 0, cols.E - 1), t, w)
+            ok = act & ~parkm
+            parkm = act & ~ok
+            strs = None
+            if out_slot in cols.str_row:
+                strs = list(ts.strs)
+                row = cols.str_row[out_slot]
+                strs[row] = jnp.where(ok, ebuf, strs[row])
+                strs = tuple(strs)
+            return _advance(ts, cols, act, ok, parkm, next_pc,
+                            writes=[(cols.stype(out_slot), et),
+                                    (cols.sint(out_slot), ei),
+                                    (cols.slen(out_slot), el)],
+                            strs=strs)
+        return br
+
+    if isinstance(instr, IListSlice):
+        out_slot, src_slot = instr.out_slot, instr.src_slot
+
+        def bound(ts, spec):
+            if spec[0] == "const":
+                return _rd(ts, C_PC) * 0 + spec[1], _rd(ts, C_PC) * 0 == 1
+            return _eval_rpn(ts, cols, spec[1], t, w)
+
+        def br(ts):
+            act = active_of(ts)
+            zero_i = _rd(ts, C_PC) * 0
+            st = _rd(ts, cols.stype(src_slot))
+            n = _rd(ts, cols.slen(src_slot))
+            frm, p1 = bound(ts, instr.frm)
+            to, p2 = bound(ts, instr.to)
+            parkm = (st != T_LIST) | p1 | p2
+            # 1-based right-inclusive (executor _py_slice_index, incl. the
+            # right-bound-0 quirk), then Python's own slice clamping
+            parkm = parkm | (frm == 0)      # host raises
+            s0 = jnp.where(frm > 0, frm - 1, n + frm)
+            e0 = jnp.where(to > 0, to - 1,
+                           jnp.where(to < 0, n + to, zero_i)) + 1
+            pys = jnp.where(s0 < 0, jnp.maximum(s0 + n, 0),
+                            jnp.minimum(s0, n))
+            pye = jnp.where(e0 < 0, jnp.maximum(e0 + n, 0),
+                            jnp.minimum(e0, n))
+            count = jnp.maximum(pye - pys, 0)
+            ok = act & ~parkm
+            parkm = act & ~ok
+            writes = [(cols.stype(out_slot), T_LIST),
+                      (cols.sint(out_slot), 0),
+                      (cols.slen(out_slot), count)]
+            strs = list(ts.strs)
+            for e in range(cols.E):
+                j = jnp.clip(pys + e, 0, cols.E - 1)
+                et, ei, el, ebuf = _elem_read(ts, cols, src_slot, j, t, w)
+                writes += [(cols.etype(out_slot, e), et),
+                           (cols.eint(out_slot, e), ei),
+                           (cols.elen(out_slot, e), el)]
+                _place_elem(strs, cols, out_slot, e, ebuf,
+                            ok & (e < count), t, w)
+            return _advance(ts, cols, act, ok, parkm, next_pc,
+                            writes=writes, strs=tuple(strs))
+        return br
+
+    if isinstance(instr, IListJoin):
+        out_slot, src_slot = instr.out_slot, instr.src_slot
+
+        def br(ts):
+            act = active_of(ts)
+            st = _rd(ts, cols.stype(src_slot))
+            bbuf, bln, bmiss, bpark = _render(ts, cols, instr.before, t, w,
+                                              lit)
+            sbuf, sln, smiss, spark = _render(ts, cols, instr.between, t,
+                                              w, lit)
+            abuf, aln, amiss, apark = _render(ts, cols, instr.after, t, w,
+                                              lit)
+            parkm = (st != T_LIST) | bmiss | bpark | smiss | spark | \
+                amiss | apark
+            jbuf, jln, jpark = _join_elems(ts, cols, src_slot, t, w,
+                                           between=(sbuf, sln))
+            parkm = parkm | jpark
+            buf, ln = _append(bbuf, bln, jbuf, jln, t, w)
+            buf, ln = _append(buf, ln, abuf, aln, t, w)
+            parkm = parkm | (ln > w)
+            ok = act & ~parkm
+            parkm = act & ~ok
+            pos = _iota(t, w)
+            buf = jnp.where(pos < ln, buf, 0)
+            strs = None
+            if out_slot in cols.str_row:
+                strs = list(ts.strs)
+                row = cols.str_row[out_slot]
+                strs[row] = jnp.where(ok, buf, strs[row])
+                strs = tuple(strs)
+            return _advance(ts, cols, act, ok, parkm, next_pc,
+                            writes=[(cols.stype(out_slot), T_STR),
+                                    (cols.sint(out_slot), 0),
+                                    (cols.slen(out_slot), ln)],
+                            strs=strs)
+        return br
+
+    if isinstance(instr, IListConcat):
+        out_slot, srcs = instr.out_slot, instr.src_slots
+
+        def br(ts):
+            act = active_of(ts)
+            zero_i = _rd(ts, C_PC) * 0
+            parkm = zero_i == 1
+            ns = []
+            for s in srcs:
+                parkm = parkm | (_rd(ts, cols.stype(s)) != T_LIST)
+                ns.append(_rd(ts, cols.slen(s)))
+            total = sum(ns[1:], ns[0])
+            parkm = parkm | (total > cols.E)
+            ok = act & ~parkm
+            parkm = act & ~ok
+            writes = [(cols.stype(out_slot), T_LIST),
+                      (cols.sint(out_slot), 0),
+                      (cols.slen(out_slot), total)]
+            strs = list(ts.strs)
+            for e in range(cols.E):
+                off = zero_i
+                et, ei, el = zero_i, zero_i, zero_i
+                ebuf = _iota(t, w) * 0
+                for k, s in enumerate(srcs):
+                    inside = (e >= off) & (e < off + ns[k])
+                    jt, ji, jl, jb = _elem_read(
+                        ts, cols, s, jnp.clip(e - off, 0, cols.E - 1),
+                        t, w)
+                    et = jnp.where(inside, jt, et)
+                    ei = jnp.where(inside, ji, ei)
+                    el = jnp.where(inside, jl, el)
+                    ebuf = jnp.where(inside, jb, ebuf)
+                    off = off + ns[k]
+                writes += [(cols.etype(out_slot, e), et),
+                           (cols.eint(out_slot, e), ei),
+                           (cols.elen(out_slot, e), el)]
+                _place_elem(strs, cols, out_slot, e, ebuf,
+                            ok & (e < total), t, w)
+            return _advance(ts, cols, act, ok, parkm, next_pc,
+                            writes=writes, strs=tuple(strs))
+        return br
+
+    if isinstance(instr, IForHeadDyn):
+        pairs, exit_pc = instr.pairs, instr.exit_pc
+        lc = cols.loop(instr.loop_id)
+
+        def br(ts):
+            act = active_of(ts)
+            zero_i = _rd(ts, C_PC) * 0
+            parkm = zero_i == 1
+            n = None
+            for _v, ls in pairs:
+                st = _rd(ts, cols.stype(ls))
+                parkm = parkm | (st != T_LIST)
+                ln = _rd(ts, cols.slen(ls))
+                if n is None:
+                    n = ln
+                else:
+                    # differing lengths: host raises the exact assert
+                    parkm = parkm | (ln != n)
+            counter = _rd(ts, lc)
+            cur = jnp.where(counter == 0, 1, counter)
+            exiting = cur > n
+            k = jnp.clip(cur - 1, 0, cols.E - 1)
+            writes = [(lc, jnp.where(exiting, 0, cur))]
+            strs = list(ts.strs)
+            dirty = False
+            for var_slot, ls in pairs:
+                et, ei, el, ebuf = _elem_read(ts, cols, ls, k, t, w)
+                old_t = _rd(ts, cols.stype(var_slot))
+                old_i = _rd(ts, cols.sint(var_slot))
+                old_l = _rd(ts, cols.slen(var_slot))
+                writes += [
+                    (cols.stype(var_slot), jnp.where(exiting, old_t, et)),
+                    (cols.sint(var_slot), jnp.where(exiting, old_i, ei)),
+                    (cols.slen(var_slot), jnp.where(exiting, old_l, el))]
+                if var_slot in cols.str_row:
+                    row = cols.str_row[var_slot]
+                    lane_ok = act & ~exiting & ~parkm
+                    strs[row] = jnp.where(lane_ok, ebuf, strs[row])
+                    dirty = True
+            ok = act & ~parkm
+            parkm = act & ~ok
+            jump = jnp.where(exiting, exit_pc, pc + 1)
+            return _advance(ts, cols, act, ok, parkm, jump,
+                            writes=writes,
+                            strs=tuple(strs) if dirty else None)
+        return br
+
+    if isinstance(instr, IParBegin):
+        mode, k_lanes = instr.mode, instr.k
+        entries, join_pc = instr.entries, instr.join_pc
+        loop_lo, loop_hi = instr.loop_lo, instr.loop_hi
+
+        def br(ts):
+            act = active_of(ts)
+            zero_i = _rd(ts, C_PC) * 0
+            writes = [(C_CURTID, 0), (C_PARMODE, mode),
+                      (C_PARJOIN, join_pc)]
+            for l in range(cols.nt):
+                if l < k_lanes:
+                    writes += [(cols.tpc(l), entries[l]),
+                               (cols.tstate(l), T_NEW)]
+                else:
+                    writes += [(cols.tpc(l), 0), (cols.tstate(l), T_FREE)]
+                writes.append((cols.tparg(l), 0))
+            # loop counters allocated inside the block reset on entry
+            # (raced lanes may have left one mid-loop; the reference
+            # purges raced sub-cursors)
+            for li in range(loop_lo, loop_hi):
+                writes.append((cols.loop(li), zero_i))
+            nope = act & (act != act)
+            return _advance(ts, cols, act, act, nope, entries[0],
+                            writes=writes)
+        return br
+
+    if isinstance(instr, IThreadEnd):
+        k_lanes, join_pc = instr.k, instr.join_pc
+        NT = cols.nt
+
+        def br(ts):
+            act = active_of(ts)
+            zero_i = _rd(ts, C_PC) * 0
+            cur = jnp.clip(_rd(ts, C_CURTID), 0, NT - 1)
+            # mark the current lane done
+            tstate = [jnp.where(cur == l, T_DONE, _rd(ts, cols.tstate(l)))
+                      for l in range(NT)]
+            started = [l < k_lanes for l in range(NT)]
+            f = zero_i == 1
+            new_left, wait_left, all_done = f, f, zero_i == 0
+            for l in range(NT):
+                if started[l]:
+                    new_left = new_left | (tstate[l] == T_NEW)
+                    wait_left = wait_left | (tstate[l] == T_WAIT)
+                    all_done = all_done & (tstate[l] == T_DONE)
+            wait_mode = _rd(ts, C_PARMODE) == PM_WAIT
+            complete = jnp.where(wait_mode, all_done,
+                                 ~new_left & ~wait_left)
+            drain = ~wait_mode & ~complete
+            # next runnable lane, cyclic from cur+1 (wait mode also runs
+            # READY lanes; race/drain runs never-started lanes only)
+            any_run, nxt = f, zero_i
+            start = cur + 1
+            for off in range(NT):
+                idx = (start + off) % NT
+                st_i = zero_i
+                for l in range(NT):
+                    st_i = jnp.where(idx == l, tstate[l], st_i)
+                runnable = jnp.where(
+                    wait_mode, (st_i == T_NEW) | (st_i == T_READY),
+                    st_i == T_NEW)
+                # only started lanes are runnable
+                started_i = idx < k_lanes
+                runnable = runnable & started_i
+                pick = runnable & ~any_run
+                nxt = jnp.where(pick, idx, nxt)
+                any_run = any_run | runnable
+            tpc_nxt = zero_i
+            for l in range(NT):
+                tpc_nxt = jnp.where(nxt == l, _rd(ts, cols.tpc(l)),
+                                    tpc_nxt)
+            regs = ts.regs
+            for l in range(NT):
+                regs = _wr(regs, cols.tstate(l),
+                           jnp.where(complete, T_FREE, tstate[l]), act)
+            regs = _wr(regs, C_PARMODE,
+                       jnp.where(complete, PM_NONE,
+                                 jnp.where(drain, PM_DRAIN,
+                                           _rd(ts, C_PARMODE))), act)
+            regs = _wr(regs, C_PARJOIN,
+                       jnp.where(complete, 0, _rd(ts, C_PARJOIN)), act)
+            regs = _wr(regs, C_PAREPOCH,
+                       _rd(ts, C_PAREPOCH) + jnp.where(complete, 1, 0),
+                       act)
+            regs = _wr(regs, C_CURTID,
+                       jnp.where(complete, -1,
+                                 jnp.where(any_run, nxt, -1)), act)
+            regs = _wr(regs, C_PC,
+                       jnp.where(complete, join_pc,
+                                 jnp.where(any_run, tpc_nxt,
+                                           _rd(ts, C_PC))), act)
+            regs = _wr(regs, C_STATUS,
+                       jnp.where(complete | any_run, RUNNING, PARKED), act)
+            regs = _wr(regs, C_STEPS, _rd(ts, C_STEPS) + 1, act)
+            return ts._replace(regs=regs)
+        return br
+
     raise NotTurbo(f"no branch builder for {type(instr).__name__}")
 
 
@@ -723,16 +1463,69 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
 # kernel assembly
 # ---------------------------------------------------------------------------
 
+def _make_cols(plan: TurboPlan, tcfg: TurboConfig) -> _Cols:
+    return _Cols(max(plan.n_slots, 1), plan.slot_kinds,
+                 plan.compiled.n_loops, nt=plan.needs_threads,
+                 list_cap=tcfg.list_cap, width=tcfg.width,
+                 elem_width=tcfg.elem_width)
+
+
+def _lane_yield(ts: _TS, cols: _Cols, t: int) -> _TS:
+    """Post-switch transform: a park raised while inside a parallel block
+    suspends the current LANE (T_WAIT, tpc/tparg := parked pc). While
+    draining a finished race, remaining never-run lanes are switched to
+    directly on device; otherwise the instance stays PARKED and the ring
+    escapes it to the general engine (vm/step.py thread_yield twin).
+    Idempotent — safe to run every inner step."""
+    if cols.nt == 0:
+        return ts
+    NT = cols.nt
+    zero_i = _rd(ts, C_PC) * 0
+    cur_tid = _rd(ts, C_CURTID)
+    parked = (_rd(ts, C_STATUS) == PARKED) & \
+        (_rd(ts, C_PARMODE) > 0) & (cur_tid >= 0)
+    cur = jnp.clip(cur_tid, 0, NT - 1)
+    pc = _rd(ts, C_PC)
+    regs = ts.regs
+    for l in range(NT):
+        sel = parked & (cur == l)
+        regs = _wr(regs, cols.tstate(l), T_WAIT, sel)
+        regs = _wr(regs, cols.tparg(l), pc, sel)
+        regs = _wr(regs, cols.tpc(l), pc, sel)
+    # drain: give the next never-run lane its first slice on device
+    draining = _rd(ts, C_PARMODE) == PM_DRAIN
+    any_new, nxt = zero_i == 1, zero_i
+    start = cur + 1
+    for off in range(NT):
+        idx = (start + off) % NT
+        st_i = zero_i
+        for l in range(NT):
+            st_i = jnp.where(idx == l, _rd(ts, cols.tstate(l)), st_i)
+        st_i = jnp.where(parked & (idx == cur), T_WAIT, st_i)
+        runnable = st_i == T_NEW
+        pick = runnable & ~any_new
+        nxt = jnp.where(pick, idx, nxt)
+        any_new = any_new | runnable
+    switch = parked & draining & any_new
+    tpc_nxt = zero_i
+    for l in range(NT):
+        tpc_nxt = jnp.where(nxt == l, _rd(ts, cols.tpc(l)), tpc_nxt)
+    regs = _wr(regs, C_PC, tpc_nxt, switch)
+    regs = _wr(regs, C_CURTID, nxt, switch)
+    regs = _wr(regs, C_STATUS, RUNNING, switch)
+    return ts._replace(regs=regs)
+
+
 def build_step_fn(plan: TurboPlan, tcfg: TurboConfig, n: int,
                   interpret: bool):
     """Jitted (batch,) -> batch running k_steps VM steps via one
     pallas_call over instance tiles."""
     from jax.experimental import pallas as pl
 
-    S = max(plan.n_slots, 1)
     P = plan.n_instr
-    cols = _Cols(S, plan.slot_kinds, plan.compiled.n_loops)
+    cols = _make_cols(plan, tcfg)
     R = cols.n_rows
+    regw = cols.regw
     t, w, ow, K = tcfg.tile, tcfg.width, tcfg.out_width, tcfg.k_steps
     assert n % t == 0
 
@@ -759,6 +1552,7 @@ def build_step_fn(plan: TurboPlan, tcfg: TurboConfig, n: int,
             running = _rd(ts, C_STATUS) == RUNNING
             pc_star = jnp.min(jnp.where(running, _rd(ts, C_PC), P))
             ts = jax.lax.switch(jnp.clip(pc_star, 0, P - 1), branches, ts)
+            ts = _lane_yield(ts, cols, t)
             return it + 1, ts
 
         it0 = jnp.min(regs_ref[0, 0]) * 0
@@ -770,12 +1564,12 @@ def build_step_fn(plan: TurboPlan, tcfg: TurboConfig, n: int,
 
     grid = (n // t,)
     state_specs = [
-        pl.BlockSpec((t, REGW), lambda g: (g, 0)),
+        pl.BlockSpec((t, regw), lambda g: (g, 0)),
         pl.BlockSpec((R, t, w), lambda g: (0, g, 0)),
         pl.BlockSpec((t, ow), lambda g: (g, 0)),
     ]
     shapes = (
-        jax.ShapeDtypeStruct((n, REGW), jnp.int32),
+        jax.ShapeDtypeStruct((n, regw), jnp.int32),
         jax.ShapeDtypeStruct((R, n, w), jnp.int32),
         jax.ShapeDtypeStruct((n, ow), jnp.int32),
     )
@@ -796,6 +1590,35 @@ def build_step_fn(plan: TurboPlan, tcfg: TurboConfig, n: int,
         return TurboBatch(*call(lits, *batch))
 
     return jax.jit(step_batch, donate_argnums=(0,))
+
+
+def build_sharded_step_fn(plan: TurboPlan, tcfg: TurboConfig, n: int,
+                          interpret: bool, mesh, axis: str = "dp"):
+    """Sharded twin of build_step_fn: the mega-kernel runs per device over
+    a pure-DP mesh via shard_map (instances are embarrassingly parallel —
+    no per-step collectives; SURVEY §2.4). Each device executes the same
+    pallas_call on its local n/ndev instance shard; shardings round-trip
+    so repeated steps never reshuffle instances across chips."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    ndev = mesh.devices.size
+    if n % ndev:
+        raise NotTurbo(f"batch {n} not divisible by {ndev} devices")
+    local = build_step_fn(plan, tcfg, n // ndev, interpret)
+
+    state_specs = (P(axis, None), P(None, axis, None), P(axis, None))
+
+    sharded = shard_map(
+        lambda regs, sbuf, out: tuple(local(TurboBatch(regs, sbuf, out))),
+        mesh=mesh, in_specs=state_specs, out_specs=state_specs,
+        check_rep=False)
+
+    @jax.jit
+    def step_batch(batch: TurboBatch) -> TurboBatch:
+        return TurboBatch(*sharded(batch.regs, batch.sbuf, batch.out))
+
+    return step_batch
 
 
 # ---------------------------------------------------------------------------
@@ -831,8 +1654,7 @@ class TurboEngine:
         self.plan = plan or plan_turbo(compiled)
         self.compiled = compiled
         self.tcfg = tcfg or TurboConfig()
-        self.cols = _Cols(max(self.plan.n_slots, 1), self.plan.slot_kinds,
-                          compiled.n_loops)
+        self.cols = _make_cols(self.plan, self.tcfg)
         self.io_factory = io_factory or (lambda i: IOManager(BufferBackend()))
         if interpret is None:
             interpret = jax.devices()[0].platform not in ("tpu",)
@@ -841,6 +1663,14 @@ class TurboEngine:
         self._host_results: dict = {}
         self._park_await = PARK_AWAIT_INSERT
         self._slot_keys = list(self.plan.slot_names)
+        # instances that parked inside a parallel block escape to the
+        # general engine (exact thread-lane ring); i → asyncio.Task
+        self._escape_tasks: dict = {}
+        self._escape_results: dict = {}
+        self._escape_cfg = None
+        # ring telemetry (same fields as DeviceRunner.ring_stats)
+        self.ring_stats = {"rounds": 0, "parks": 0, "escapes": 0,
+                           "parks_by_kind": {}, "ring_ms": 0.0}
 
     # ---- batch lifecycle ---------------------------------------------------
 
@@ -859,7 +1689,7 @@ class TurboEngine:
         row = self._encode_row(inserts, output="", pc=0, steps=0)
         n_pad = self._padded(n)
         regs = np.ascontiguousarray(
-            np.broadcast_to(row["regs"][None], (n_pad, REGW)))
+            np.broadcast_to(row["regs"][None], (n_pad, self.cols.regw)))
         sbuf = np.ascontiguousarray(np.broadcast_to(
             row["sbuf"][:, None, :],
             (row["sbuf"].shape[0], n_pad, self.tcfg.width)))
@@ -882,7 +1712,7 @@ class TurboEngine:
         """
         w, ow = self.tcfg.width, self.tcfg.out_width
         cols = self.cols
-        regs = np.zeros((REGW,), np.int32)
+        regs = np.zeros((cols.regw,), np.int32)
         regs[C_PC] = pc
         regs[C_STATUS] = RUNNING
         regs[C_STEPS] = steps
@@ -893,16 +1723,48 @@ class TurboEngine:
             s = slot_of.get(str(key))
             if s is None:
                 raise TurboEncodeError(f"key {key!r} has no slot")
-            if isinstance(value, bool) or not isinstance(value, (int, str)):
-                raise TurboEncodeError(f"value of {key!r} is not int/str")
+            if isinstance(value, bool) or \
+                    not isinstance(value, (int, str, list)):
+                raise TurboEncodeError(f"value of {key!r} is not "
+                                       f"int/str/list")
             if isinstance(value, int):
                 if not (-2**31 <= value < 2**31):
                     raise TurboEncodeError(f"int {key!r} exceeds int32")
-                if cols.kind(s) in ("str", "none"):
+                if cols.kind(s) in ("str", "none", "list"):
                     raise TurboEncodeError(
                         f"int value in non-int slot {key!r}")
                 regs[cols.stype(s)] = T_INT
                 regs[cols.sint(s)] = value
+            elif isinstance(value, list):
+                if cols.kind(s) != "list":
+                    raise TurboEncodeError(
+                        f"list value in scalar slot {key!r}")
+                if len(value) > cols.E:
+                    raise TurboEncodeError(
+                        f"list {key!r} exceeds {cols.E} elements")
+                regs[cols.stype(s)] = T_LIST
+                regs[cols.slen(s)] = len(value)
+                for e, elem in enumerate(value):
+                    if isinstance(elem, bool) or \
+                            not isinstance(elem, (int, str)):
+                        raise TurboEncodeError(
+                            f"element of {key!r} is not int/str")
+                    if isinstance(elem, int):
+                        if not (-2**31 <= elem < 2**31):
+                            raise TurboEncodeError(
+                                f"element of {key!r} exceeds int32")
+                        regs[cols.etype(s, e)] = T_INT
+                        regs[cols.eint(s, e)] = elem
+                    else:
+                        data = elem.encode("utf-8")
+                        if len(data) > cols.ew:
+                            raise TurboEncodeError(
+                                f"element of {key!r} exceeds "
+                                f"{cols.ew}B")
+                        regs[cols.etype(s, e)] = T_STR
+                        regs[cols.elen(s, e)] = len(data)
+                        row, off = cols.elem_pos(s, e)
+                        sbuf[row, off:off + len(data)] = list(data)
             else:
                 data = value.encode("utf-8")
                 if len(data) > w:
@@ -933,8 +1795,12 @@ class TurboEngine:
                "out": np.asarray(batch.out[i:i + 1])}
         state = self._decode_row(sub, 0)
         regs = sub["regs"][0]
+        if int(regs[C_PARMODE]) > 0:
+            raise ValueError(
+                "export inside a parallel block: lane sub-states are not "
+                "expressible as reference cursors from the turbo row")
         pc = min(int(regs[C_PC]), self.compiled.n_instr - 1)
-        lc0 = C_BASE + 3 * self.cols.S
+        lc0 = self.cols._loops0
         counters = regs[lc0:lc0 + self.cols.n_loops]
         emit_cursors(self.compiled, state, pc, counters)
         return state
@@ -951,7 +1817,7 @@ class TurboEngine:
                 f"{sorted(leftovers)}; resume requires the host engine")
         row = self._encode_row(dict(state.get("inserts", {})),
                                state.get("output", ""), pc, 0)
-        lc0 = C_BASE + 3 * self.cols.S
+        lc0 = self.cols._loops0
         row["regs"][lc0:lc0 + self.cols.n_loops] = \
             counters[:self.cols.n_loops]
         return row
@@ -961,7 +1827,7 @@ class TurboEngine:
         rows = [self.load_state(s) for s in states]
         n = len(rows)
         n_pad = self._padded(n)
-        regs = np.zeros((n_pad, REGW), np.int32)
+        regs = np.zeros((n_pad, self.cols.regw), np.int32)
         sbuf = np.zeros((self.cols.n_rows, n_pad, self.tcfg.width),
                         np.int32)
         out = np.zeros((n_pad, self.tcfg.out_width), np.int32)
@@ -989,6 +1855,19 @@ class TurboEngine:
                 inserts[key] = bytes(
                     sub["sbuf"][row, j, :ln].astype(np.uint8)
                 ).decode("utf-8", "replace")
+            elif vt == T_LIST:
+                count = int(regs[cols.slen(s)])
+                elems = []
+                for e in range(min(count, cols.E)):
+                    if int(regs[cols.etype(s, e)]) == T_INT:
+                        elems.append(int(regs[cols.eint(s, e)]))
+                    else:
+                        el = int(regs[cols.elen(s, e)])
+                        row, off = cols.elem_pos(s, e)
+                        elems.append(bytes(
+                            sub["sbuf"][row, j, off:off + el].astype(
+                                np.uint8)).decode("utf-8", "replace"))
+                inserts[key] = elems
         ln = int(regs[C_OUTLEN])
         output = bytes(sub["out"][j, :ln].astype(np.uint8)).decode(
             "utf-8", "replace")
@@ -1004,6 +1883,93 @@ class TurboEngine:
 
     # ---- host ring -----------------------------------------------------------
 
+    # ---- parallel-block escapes ---------------------------------------------
+
+    def _escape_vmconfig(self):
+        """A general-engine VMConfig guaranteed to hold any state the turbo
+        slot model can hold (escaped instances re-encode turbo rows)."""
+        from .config import VMConfig
+        cols, plan = self.cols, self.plan
+        n_lists = max(len(cols.list_ord), 1)
+        return VMConfig(
+            max_str=max(2 * self.tcfg.width, 512),
+            max_key=64,
+            n_slots=max(plan.n_slots + 16, 48),
+            arena_size=max(16384,
+                           4 * (plan.n_slots + cols.E * n_lists)
+                           * self.tcfg.width),
+            pool_size=max(96, 4 * cols.E * n_lists),
+            out_size=max(4096, 4 * self.tcfg.out_width),
+            max_loops=max(self.compiled.n_loops, 8),
+            max_threads=max(self.plan.needs_threads, 8),
+        )
+
+    def _escape(self, sub: dict, j: int, i: int) -> None:
+        """Move instance i to the general engine: a park inside a parallel
+        block needs the asyncio-twin lane ring (vm/driver._service_threads),
+        which operates on general-engine rows. The turbo row's lane
+        bookkeeping maps 1:1 onto VMInstance thread fields; the instance
+        finishes its whole run there (exact semantics, ring-bound speed)."""
+        import asyncio
+        from .config import PARK_HOST_OP, PARK_THREADS
+        from .driver import DeviceRunner
+        from .state import encode_instance
+        cols = self.cols
+        regs = sub["regs"][j]
+        state = self._decode_row(sub, j)
+        if self._escape_cfg is None:
+            self._escape_cfg = self._escape_vmconfig()
+        cfg = self._escape_cfg
+        runner = DeviceRunner(self.compiled, cfg,
+                              io_factory=lambda _j, _i=i:
+                              self.io_factory(_i),
+                              mode="eager")
+        lc0 = cols._loops0
+        counters = np.asarray(regs[lc0:lc0 + cols.n_loops])
+        st = encode_instance(state["inserts"], cfg,
+                             output=state["output"],
+                             pc=int(regs[C_PC]), counters=counters,
+                             rng=i, steps=int(regs[C_STEPS]))
+        tpc = np.zeros((cfg.max_threads,), np.int32)
+        tstate = np.zeros_like(tpc)
+        tpark_kind = np.zeros_like(tpc)
+        tpark_arg = np.zeros_like(tpc)
+        for l in range(cols.nt):
+            tpc[l] = regs[cols.tpc(l)]
+            tstate[l] = regs[cols.tstate(l)]
+            tpark_arg[l] = regs[cols.tparg(l)]
+            if tstate[l] == T_WAIT:
+                tpark_kind[l] = self.plan.park_kind_of.get(
+                    int(tpark_arg[l]), PARK_HOST_OP)
+        st = st._replace(
+            status=jnp.int32(PARKED),
+            park_kind=jnp.int32(PARK_THREADS),
+            park_arg=jnp.int32(int(regs[C_PC])),
+            tpc=jnp.asarray(tpc), tstate=jnp.asarray(tstate),
+            tpark_kind=jnp.asarray(tpark_kind),
+            tpark_arg=jnp.asarray(tpark_arg),
+            cur_tid=jnp.int32(int(regs[C_CURTID])),
+            par_mode=jnp.int32(int(regs[C_PARMODE])),
+            par_join=jnp.int32(int(regs[C_PARJOIN])),
+            par_epoch=jnp.int32(int(regs[C_PAREPOCH])))
+        batch1 = jax.tree.map(lambda x: jnp.asarray(x)[None], st)
+        self._escape_tasks[i] = asyncio.create_task(
+            self._run_escape(i, runner, batch1))
+        # retire the turbo row; results() reads the escape result
+        sub["regs"][j, C_STATUS] = DONE
+        sub["regs"][j, C_PC] = self.plan.n_instr - 1
+
+    async def _run_escape(self, i: int, runner, batch1) -> None:
+        from .state import decode_inserts, decode_output
+        final = await runner.run_async(batch1)
+        st = jax.tree.map(lambda x: x[0], final)
+        self._escape_results[i] = {
+            "inserts": decode_inserts(st),
+            "output": decode_output(st),
+            "status": int(st.status),
+            "steps": int(st.steps),
+        }
+
     async def _service(self, sub: dict, j: int, i: int, rts: dict) -> bool:
         """Service parked row j (global instance i) in-place in `sub`.
         Returns True when the row changed (resumed or finished on host)."""
@@ -1011,6 +1977,10 @@ class TurboEngine:
         from ..core.interp import (InterpolationException,
                                    get_simple_insertkey, interpolate_inserts)
         from ..core.events import EVENTS, VM_PARK
+
+        if int(sub["regs"][j, C_PARMODE]) > 0:
+            self._escape(sub, j, i)
+            return True
 
         pc = int(sub["regs"][j, C_PC])
         task = self.compiled.source_tasks[pc]
@@ -1128,10 +2098,13 @@ class TurboEngine:
     def _write_row(self, sub: dict, j: int, state: dict, pc: int,
                    steps: int):
         row = self._encode_row(state["inserts"], state["output"], pc, steps)
-        # loop counters live outside the reference state dict — a leaf park
-        # inside a for body must not reset the loop on re-encode
-        lc0 = C_BASE + 3 * self.cols.S
-        lc1 = lc0 + self.cols.n_loops
+        # loop counters and parallel-lane bookkeeping live outside the
+        # reference state dict — a leaf park must not reset them
+        cols = self.cols
+        row["regs"][C_CURTID:cols._slots0] = \
+            sub["regs"][j, C_CURTID:cols._slots0]
+        lc0 = cols._loops0
+        lc1 = lc0 + cols.n_loops
         row["regs"][lc0:lc1] = sub["regs"][j, lc0:lc1]
         sub["regs"][j] = row["regs"]
         sub["sbuf"][:, j, :] = row["sbuf"]
@@ -1142,6 +2115,7 @@ class TurboEngine:
     async def run_async(self, batch: TurboBatch, *, max_rounds: int = 10_000
                         ) -> TurboBatch:
         import asyncio
+        import time
         from ..core.events import EVENTS, VM_ROUND
         n = batch.regs.shape[0]
         step = self.step_fn(n)
@@ -1158,6 +2132,7 @@ class TurboEngine:
             EVENTS.emit(VM_ROUND, round=round_no, engine="turbo",
                         running=int((status == RUNNING).sum()),
                         parked=len(parked))
+            t_ring = time.perf_counter()
             # batched gather of every parked row (one device round-trip)
             idx = jnp.asarray(parked)
             sub = {
@@ -1165,10 +2140,22 @@ class TurboEngine:
                 "sbuf": np.asarray(batch.sbuf[:, idx]).copy(),
                 "out": np.asarray(batch.out[idx]).copy(),
             }
+            n_escaped = len(self._escape_tasks)
             changed = await asyncio.gather(*[
                 self._service(sub, j, int(i), rts)
                 for j, i in enumerate(parked)])
             resumed = sum(bool(c) for c in changed)
+            rs = self.ring_stats
+            rs["rounds"] = round_no + 1
+            rs["parks"] += resumed
+            rs["escapes"] += len(self._escape_tasks) - n_escaped
+            for j, c in enumerate(changed):
+                if c:
+                    pc = int(sub["regs"][j, C_PC])
+                    k = self.plan.park_kind_of.get(pc, 0)
+                    by = rs["parks_by_kind"]
+                    by[k] = by.get(k, 0) + 1
+            rs["ring_ms"] += (time.perf_counter() - t_ring) * 1e3
             if resumed:
                 for j in range(len(parked)):
                     if changed[j] and sub["regs"][j, C_STATUS] == PARKED:
@@ -1188,6 +2175,9 @@ class TurboEngine:
                 await asyncio.sleep(0.05)
             else:
                 stalled = 0
+        if self._escape_tasks:
+            await asyncio.gather(*self._escape_tasks.values())
+            self._escape_tasks.clear()
         return batch
 
     def run(self, batch: TurboBatch, **kw) -> TurboBatch:
@@ -1207,6 +2197,12 @@ class TurboEngine:
             self, "_n_live", host["regs"].shape[0])
         out = []
         for i in range(n):
+            if i in self._escape_results:
+                r = self._escape_results[i]
+                out.append(InstanceResult(
+                    output=r["output"], inserts=r["inserts"],
+                    status=r["status"], steps=r["steps"]))
+                continue
             if i in self._host_results:
                 state = self._host_results[i]
             else:

@@ -92,3 +92,37 @@ def test_sharded_parallel_block(capsys):
     for i, r in enumerate(rs):
         assert r.status == DONE
         assert r.output == f"a;t0;x=x{i};t1;y=y{i};z"
+
+
+def test_turbo_sharded_step_bit_identical():
+    """The turbo mega-kernel over the 8-device mesh (shard_map, per-leaf
+    specs — sbuf shards on its INSTANCE axis, not its leading rows axis)
+    equals the unsharded kernel bit-for-bit (VERDICT r2 missing #3)."""
+    from bench import adventure_program
+    from interpolation_engine_tpu.parallel.mesh import shard_turbo_batch
+    from interpolation_engine_tpu.vm.turbo import (
+        TurboConfig,
+        TurboEngine,
+        build_sharded_step_fn,
+    )
+
+    compiled = compile_src(adventure_program(3, t_max=30))
+    tcfg = TurboConfig(tile=2, width=64, out_width=128, k_steps=8)
+    eng = TurboEngine(compiled, tcfg)
+    n = 16
+    ref = eng.make_batch(n)
+    step = eng.step_fn(ref.regs.shape[0])
+    for _ in range(3):
+        ref = step(ref)
+
+    mesh = make_mesh(8)
+    sharded = shard_turbo_batch(eng.make_batch(n), mesh)
+    sstep = build_sharded_step_fn(eng.plan, tcfg, ref.regs.shape[0],
+                                  eng.interpret, mesh)
+    for _ in range(3):
+        sharded = sstep(sharded)
+
+    for name, a, b in zip(("regs", "sbuf", "out"), jax.device_get(sharded),
+                          jax.device_get(ref)):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+    assert len({s.device for s in sharded.regs.addressable_shards}) == 8

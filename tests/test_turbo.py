@@ -337,16 +337,20 @@ def test_delete_static_match_trailing_newline():
 def test_not_turbo_shapes():
     """Programs outside the slot model must be rejected, not mis-run."""
     for src, why in [
-        ("""{default_state: {order_index: 1, inserts: {l: ['a','b']}},
+        ("""{default_state: {order_index: 1, inserts: {d: {a: 1}}},
              order: [{cmd:'print', text:'x'}],
-             named_tasks: {}, save_states: {}}""", "list insert"),
+             named_tasks: {}, save_states: {}}""", "dict insert"),
         ("""{default_state: {order_index: 1, inserts: {k: 'n'}},
              order: [{cmd:'set', item:'v', output_name:'{k}'}],
              named_tasks: {}, save_states: {}}""", "dynamic output_name"),
-        ("""{default_state: {order_index: 1, inserts: {l: ['x','y']}},
-             order: [{cmd:'for', name_list_map: {v: '{l}'},
-                      tasks: [{cmd:'print', text:'{v}'}]}],
-             named_tasks: {}, save_states: {}}""", "for over dynamic list"),
+        ("""{default_state: {order_index: 1, inserts: {l: [['x'],['y']]}},
+             order: [{cmd:'print', text:'x'}],
+             named_tasks: {}, save_states: {}}""", "nested list insert"),
+        ("""{default_state: {order_index: 1, inserts: {x: 'a'}},
+             order: [{cmd:'set', item:['l'], output_name:'x'},
+                     {cmd:'print', text:'{x}'}],
+             named_tasks: {}, save_states: {}}""",
+         "slot holds both list and scalar"),
     ]:
         compiled = compile_src(src)
         with pytest.raises(NotTurbo):
@@ -579,21 +583,212 @@ def test_turbo_for_with_leaf_park(tmp_path, capsys):
     assert r.output == host["output"] == "first=A;second=B;done"
 
 
-def test_turbo_for_dynamic_list_not_turbo():
+def test_turbo_for_dynamic_list(tmp_path, capsys):
+    """for over a list slot runs natively (round 3); byte parity."""
     src = """
     {
-        default_state: {order_index: 1, inserts: {lst: ['a','b']}},
+        default_state: {order_index: 1, inserts: {lst: ['a','b',7]}},
         order: [
             {cmd:'for', name_list_map:{v: '{lst}'}, tasks:[
-                {cmd:'print', text:'{v}'},
+                {cmd:'print', text:'{v};'},
             ]},
         ],
         named_tasks: {}, save_states: {},
     }
     """
-    from interpolation_engine_tpu.compiler.turbo import NotTurbo, plan_turbo
-    with pytest.raises(NotTurbo):
-        plan_turbo(compile_src(src))
+    from interpolation_engine_tpu.compiler.turbo import IForHeadDyn, plan_turbo
+    plan = plan_turbo(compile_src(src))
+    assert any(isinstance(i, IForHeadDyn) for i in plan.instrs)
+    host = run_host(src, tmp_path)
+    capsys.readouterr()
+    for r in run_turbo(src, n=2):
+        assert r.status == DONE and r.output == host["output"]
+
+
+def test_turbo_for_dyn_body_mutation_parks():
+    """The host snapshots looped lists at entry; a body that writes the
+    looped slot must park the head (whole-loop host execution), never run
+    the per-visit-re-read native path."""
+    src = """
+    {
+        default_state: {order_index: 1, inserts: {lst: ['a','b']}},
+        order: [
+            {cmd:'for', name_list_map:{v: '{lst}'}, tasks:[
+                {cmd:'list_append', list:'{lst}', item:'{v}!',
+                 output_name:'lst'},
+            ]},
+            {cmd:'print', text:'{lst}'},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """
+    from interpolation_engine_tpu.compiler.turbo import (IForHeadDyn, IPark,
+                                                         plan_turbo)
+    plan = plan_turbo(compile_src(src))
+    assert not any(isinstance(i, IForHeadDyn) for i in plan.instrs)
+    assert any(isinstance(i, IPark) for i in plan.instrs)
+
+
+LIST_SPINE = """
+{
+    default_state: {order_index: 1, inserts: {hist: ['a','b'], n: 0}},
+    order: [
+        {cmd:'list_append', list:'{hist}', item:'c-{n}', output_name:'hist'},
+        {cmd:'math', input:'length(hist)', output_name:'n'},
+        {cmd:'list_index', list:'{hist}', index:-1, output_name:'last'},
+        {cmd:'list_slice', list:'{hist}', from_index:1,
+         to_index:'{n} - 1', output_name:'head'},
+        {cmd:'list_join', list:'{head}', before:'[', between:',',
+         after:']', output_name:'joined'},
+        {cmd:'list_remove', list:'{hist}', item:'b', output_name:'hist2'},
+        {cmd:'list_concat', lists:['{head}','{hist2}'], output_name:'cat'},
+        {cmd:'for', name_list_map:{e:'{hist}'}, tasks:[
+            {cmd:'print', text:'<{e}>'},
+        ]},
+        {cmd:'print', text:'{joined} {last} {hist} {cat}'},
+    ],
+    named_tasks: {}, save_states: {},
+}
+"""
+
+
+def test_turbo_list_ops_differential(tmp_path, capsys):
+    """append/index/slice/join/remove/concat/length + dynamic for — all
+    native (n_parks == 0) and byte-exact vs the host."""
+    plan = plan_turbo(compile_src(LIST_SPINE))
+    assert plan.n_parks == 0
+    host = run_host(LIST_SPINE, tmp_path)
+    capsys.readouterr()
+    for r in run_turbo(LIST_SPINE, n=3):
+        assert r.status == DONE
+        assert r.output == host["output"]
+        assert r.inserts == dict(host["inserts"])
+
+
+def test_turbo_list_edge_cases(tmp_path, capsys):
+    """Slice bound quirks (right-bound 0, negatives, past-end), remove of
+    an absent item, empty joins — host oracle parity."""
+    src = """
+    {
+        default_state: {order_index: 1, inserts: {l: [3,1,'x']}},
+        order: [
+            {cmd:'list_slice', list:'{l}', from_index:1, to_index:0,
+             output_name:'s0'},
+            {cmd:'list_slice', list:'{l}', from_index:-2, to_index:9,
+             output_name:'s1'},
+            {cmd:'list_slice', list:'{l}', from_index:2, to_index:1,
+             output_name:'s2'},
+            {cmd:'list_remove', list:'{l}', item:'absent',
+             output_name:'r0'},
+            {cmd:'list_remove', list:'{l}', item:'x', output_name:'r1'},
+            {cmd:'list_join', list:'{s2}', before:'(', between:'-',
+             after:')', output_name:'j0'},
+            {cmd:'list_index', list:'{l}', index:'3', output_name:'i0'},
+            {cmd:'print', text:'{s0}|{s1}|{s2}|{r0}|{r1}|{j0}|{i0}'},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """
+    host = run_host(src, tmp_path)
+    capsys.readouterr()
+    for r in run_turbo(src, n=2):
+        assert r.status == DONE
+        assert r.output == host["output"]
+        assert r.inserts == dict(host["inserts"])
+
+
+PAR_RACE = """
+{
+    default_state: {order_index: 1, inserts: {x: '(unset)'}},
+    order: [
+        {cmd:'parallel_%(mode)s', tasks:[
+            {cmd:'serial', tasks:[
+                {cmd:'set', item:'lane0', output_name:'x'},
+                {cmd:'print', text:'[0:{x}]'},
+            ]},
+            {cmd:'serial', tasks:[
+                {cmd:'set', item:'lane1', output_name:'y'},
+                {cmd:'print', text:'[1]'},
+            ]},
+            {cmd:'set', item:'leaf', output_name:'z'},
+        ]},
+        {cmd:'print', text:'after x={x} y={y} z={z}'},
+    ],
+    named_tasks: {}, save_states: {},
+}
+"""
+
+
+@pytest.mark.parametrize("mode", ["wait", "race"])
+def test_turbo_parallel_compute_lanes(tmp_path, capsys, mode):
+    """Pure-compute parallel blocks run entirely in-kernel as thread
+    lanes; both modes must match the host's asyncio scheduling output."""
+    src = PAR_RACE % {"mode": mode}
+    plan = plan_turbo(compile_src(src))
+    assert plan.n_parks == 0
+    host = run_host(src, tmp_path)
+    capsys.readouterr()
+    results = run_turbo(src, n=3)
+    for r in results:
+        assert r.status == DONE
+        assert r.output == host["output"]
+        assert r.inserts == dict(host["inserts"])
+
+
+def test_turbo_parallel_park_escapes_to_general(tmp_path, capsys):
+    """A lane that parks inside a parallel block (user_input in a race)
+    escapes the instance to the general engine's asyncio-twin ring — the
+    final output must equal the host run byte-for-byte."""
+    src = """
+    {
+        default_state: {order_index: 1, inserts: {}},
+        order: [
+            {cmd:'parallel_race', tasks:[
+                {cmd:'serial', tasks:[
+                    {cmd:'user_input', prompt:'name?', output_name:'nm'},
+                    {cmd:'print', text:'got {nm};'},
+                ]},
+                {cmd:'serial', tasks:[
+                    {cmd:'set', item:'sideval', output_name:'side'},
+                ]},
+            ]},
+            {cmd:'print', text:'after {side}'},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """
+    host = run_host(src, tmp_path, responses=["zed"])
+    capsys.readouterr()
+    compiled = compile_src(src)
+    engine = TurboEngine(
+        compiled, TCFG,
+        io_factory=lambda i: IOManager(ScriptedBackend(["zed"])))
+    batch = engine.run(engine.make_batch(3), max_rounds=300)
+    results = engine.results(batch)
+    assert len(engine._escape_results) == 3   # every instance escaped
+    for r in results:
+        assert r.output == host["output"]
+        assert r.inserts == dict(host["inserts"])
+
+
+def test_adventure_spine_native_and_exact(tmp_path, capsys):
+    """The bench's text_adventure-shaped workload (lists + parallel_race +
+    >96 instructions) plans with ZERO parks and matches the host
+    byte-for-byte — the round-3 headline claim (VERDICT r2 next #1)."""
+    from bench import adventure_program
+    src = adventure_program(6, t_max=23)
+    compiled = compile_src(src)
+    plan = plan_turbo(compiled)
+    assert compiled.n_instr > 96
+    assert plan.n_parks == 0
+    assert plan.needs_threads == 2
+    assert plan.list_slots, "history list must be a native list slot"
+    host = run_host(src, tmp_path)
+    capsys.readouterr()
+    for r in run_turbo(src, n=2):
+        assert r.status == DONE
+        assert r.output == host["output"]
+        assert r.inserts == dict(host["inserts"])
 
 
 SAVE_SRC = """
