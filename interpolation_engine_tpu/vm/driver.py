@@ -668,6 +668,178 @@ class DeviceRunner:
         return out
 
 
+class DeviceProgramRun:
+    """Interactive single-instance run on the device engine with the
+    reference's Esc-menu arbitration (Save/Load/Reload/Quit —
+    interpolation_engine.py:2046-2131,2362-2372; VERDICT r2 missing #2).
+
+    Arbitration parity: Esc cancels the in-flight round (stepping or ring
+    service) and opens the menu; closing it (Esc again) re-services the
+    still-parked instruction — the host equivalently re-executes the
+    cancelled task after the menu closes. Save exports the device state to
+    the reference's cursor format (splice-preserving); Load re-encodes any
+    reference-format slot back onto the device.
+    """
+
+    def __init__(self, filepath: str, args: list[str], io,
+                 inner_steps: int = 16):
+        self.filepath = filepath
+        self.args = list(args)
+        self.io = io
+        self.inner_steps = inner_steps
+        self.killme = False
+        self.menu_open = False
+        self.current_task: Optional[asyncio.Task] = None
+        self.runner: Optional[DeviceRunner] = None
+        self.batch = None
+
+    def toggle_menu(self):
+        if self.current_task:
+            self.current_task.cancel()
+        self.menu_open = not self.menu_open
+
+    def kill(self):
+        self.killme = True
+        if self.current_task:
+            self.current_task.cancel()
+
+    def _make_runner(self):
+        program, _state = load(self.filepath)
+        compiled = compile_program(program)
+        if compiled.host_only:
+            raise ValueError(
+                f"host-only program: {compiled.host_only_reason}")
+        # mode=auto: eager on CPU (no whole-VM compile for one instance),
+        # jit on accelerators (ONE cached executable beats hundreds of
+        # per-handler remote compiles); IE_TPU_MODE overrides
+        self.runner = DeviceRunner(compiled, io_factory=lambda i: self.io)
+        self.batch = self.runner.make_instances(1, self.args)
+
+    async def run(self) -> str:
+        import signal
+        CTX.program_dir = os.path.dirname(os.path.abspath(self.filepath))
+        self._make_runner()
+        await self.io.start()
+        await asyncio.sleep(0)
+        await self.io.write("")
+        loop = asyncio.get_running_loop()
+        try:
+            loop.add_signal_handler(signal.SIGINT, self.toggle_menu)
+        except (NotImplementedError, RuntimeError):
+            pass
+        backend = getattr(self.io, "backend", None)
+        if backend is not None and hasattr(backend, "on_menu"):
+            backend.on_menu = self.toggle_menu
+            backend.on_kill = self.kill
+        rts: dict = {}
+        while not self.killme:
+            if self.menu_open:
+                self.current_task = loop.create_task(self._menu())
+            else:
+                self.current_task = loop.create_task(self._round(rts))
+            try:
+                await self.current_task
+            except asyncio.CancelledError:
+                current = asyncio.current_task()
+                if current is not None and current.cancelling() > 0:
+                    raise
+            if not self.menu_open and not self.killme:
+                status = int(np.asarray(self.batch.status)[0])
+                if status not in (RUNNING, PARKED):
+                    break
+        result = self.runner.results(self.batch)[0]
+        await self.io.stop()
+        from ..io import tts as tts_mod
+        tts_mod.stop_current_tts()
+        # .strip() is the reference's own final print (:2403)
+        print(result.output.strip())
+        return result.output
+
+    async def _round(self, rts: dict) -> None:
+        self.batch = self.runner._jitted(self.batch, self.inner_steps)
+        status = int(np.asarray(self.batch.status)[0])
+        if status != PARKED:
+            return
+        steps_before = int(np.asarray(self.batch.steps)[0])
+        sub = jax.tree.map(lambda a: np.asarray(a), self.batch)
+        st_out = await self.runner._service_instance(_index(sub, 0), 0, rts)
+        self.batch = jax.tree.map(
+            lambda b, s: b.at[0].set(jnp.asarray(s)), self.batch, st_out)
+        if int(np.asarray(self.batch.status)[0]) == PARKED and \
+                int(np.asarray(self.batch.steps)[0]) == steps_before:
+            await asyncio.sleep(0.05)   # await_insert-style idle poll
+
+    async def _menu(self) -> None:
+        import copy
+        from ..core.context import log
+        from ..core.persistence import save_program
+        runner = self.runner
+        program = runner.compiled.program
+        status = ""
+        while True:
+            options = ["Save State", "Load State", "Reload and Restart",
+                       "Quit"]
+            choice = options[await self.io.select_index(
+                options, description=f"\n{status}")]
+            log(f"🛈 user picked '{choice}'")
+
+            if choice == "Save State":
+                saves = program.setdefault("save_states", {})
+                slot_states = [
+                    saves.get(str(slot), {"label": "(Empty Slot)"})
+                    for slot in range(1, 10)]
+                labels = [s["label"] for s in slot_states]
+                choice_i = await self.io.select_index(labels,
+                                                      description="")
+                label = labels[choice_i]
+                save_label = await self.io.user_input(
+                    prompt="What do you want to call this save state?\n> ",
+                    default=label if label != "(Empty Slot)" else "")
+                state = runner.export_state(self.batch, 0)
+                state["label"] = save_label
+                saves[str(choice_i + 1)] = state
+                save_program(program, self.filepath)
+                status = f"\nSaved '{save_label}' to slot {choice_i + 1}.\n"
+                log(f"🛈 saved slot {choice_i + 1}")
+
+            elif choice == "Load State":
+                saves = program.setdefault("save_states", {})
+                slot_states = [
+                    saves.get(str(slot), {"label": "(Empty Slot)"})
+                    for slot in range(1, 10)]
+                labels = [s.get("label", "(Unlabelled Slot)")
+                          for s in slot_states]
+                choice_i = await self.io.select_index(labels,
+                                                      description="")
+                if labels[choice_i] == "(Empty Slot)":
+                    status = "\nCannot load empty slot.\n"
+                    continue
+                state = copy.deepcopy(slot_states[choice_i])
+                label = state.pop("label", "")
+                try:
+                    inst = runner.load_state(state)
+                except ValueError as e:
+                    status = f"\n{e}\n"
+                    continue
+                self.batch = jax.tree.map(
+                    lambda b, s: b.at[0].set(jnp.asarray(s)),
+                    self.batch, inst)
+                await self.io.write(state.get("output", ""))
+                status = f"\nLoaded '{label}' from slot {choice_i + 1}.\n"
+                log(f"🛈 Loaded slot {choice_i + 1} ({label}).")
+
+            elif choice == "Reload and Restart":
+                from ..programs.loader import invalidate_cache
+                invalidate_cache()
+                self._make_runner()   # keeps self.args → ARGn re-applied
+                status = "\nRestarted Program after reloading.\n"
+                log("🛈 Restarted Program.")
+
+            elif choice == "Quit":
+                self.kill()
+                return
+
+
 def run_program_on_device(filepath: str, args: list[str], io,
                           batch: int = 1) -> int:
     """CLI entry: run a program on the device engine (host fallback)."""
@@ -687,6 +859,12 @@ def run_program_on_device(filepath: str, args: list[str], io,
     # worth it for big batches (or when explicitly requested), not for a
     # single interactive instance
     want_turbo = turbo_env == "1" or (turbo_env != "0" and batch >= 256)
+    if batch == 1 and not want_turbo:
+        # single interactive instance: full menu arbitration (Esc →
+        # Save/Load/Reload/Quit), like the host CLI
+        run = DeviceProgramRun(filepath, args, io)
+        asyncio.run(run.run())
+        return 0
     if want_turbo:
         engine = tb = None
         try:

@@ -939,7 +939,7 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
                 decided = decided | hit
             if null_pc is not None:
                 tgt = jnp.where(missing, null_pc, tgt)
-                ok_route = jnp.where(missing, True, decided)
+                ok_route = missing | decided
             else:
                 ok_route = decided & ~missing
             parkm = parkm | ~ok_route
@@ -1405,8 +1405,9 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
                     wait_left = wait_left | (tstate[l] == T_WAIT)
                     all_done = all_done & (tstate[l] == T_DONE)
             wait_mode = _rd(ts, C_PARMODE) == PM_WAIT
-            complete = jnp.where(wait_mode, all_done,
-                                 ~new_left & ~wait_left)
+            # boolean algebra, not where() — Mosaic can't lower i1 selects
+            complete = (wait_mode & all_done) | \
+                (~wait_mode & ~new_left & ~wait_left)
             drain = ~wait_mode & ~complete
             # next runnable lane, cyclic from cur+1 (wait mode also runs
             # READY lanes; race/drain runs never-started lanes only)
@@ -1417,9 +1418,8 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
                 st_i = zero_i
                 for l in range(NT):
                     st_i = jnp.where(idx == l, tstate[l], st_i)
-                runnable = jnp.where(
-                    wait_mode, (st_i == T_NEW) | (st_i == T_READY),
-                    st_i == T_NEW)
+                runnable = (st_i == T_NEW) | \
+                    (wait_mode & (st_i == T_READY))
                 # only started lanes are runnable
                 started_i = idx < k_lanes
                 runnable = runnable & started_i
