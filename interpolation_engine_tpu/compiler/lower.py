@@ -72,6 +72,9 @@ class CompiledProgram:
     # max thread lanes any parallel_wait/race block spawns (0 = no native
     # parallel blocks); the driver checks it against VMConfig.max_threads
     needs_threads: int = 0
+    # join_pc → {path, mode, begin_pc, aux, lanes: [(label, entry_pc,
+    # subtask)]} — per-lane save/resume metadata (PARITY divergence 6)
+    par_blocks: dict = field(default_factory=dict)
 
     @property
     def n_instr(self) -> int:
@@ -99,6 +102,7 @@ class _Builder:
         self._cur_order_index = 0
         self.block_task_pcs: dict = {}
         self.block_loop_id: dict = {}
+        self.par_blocks: dict = {}
         self._par_depth = 0
         self.needs_threads = 0
 
@@ -444,7 +448,8 @@ class _Builder:
             self.emit_park(PARK_SHOW_INSERTS, t)
 
         elif cmd in ("parallel_wait", "parallel_race"):
-            self.lower_parallel(t, scope_id, pending_gotos, named_stack)
+            self.lower_parallel(t, scope_id, pending_gotos, named_stack,
+                                full_path)
         else:
             self.emit_park(PARK_HOST_OP, t)
 
@@ -452,7 +457,7 @@ class _Builder:
         return self.emit(isa.OP_PARK, kind, task=task)
 
     def lower_parallel(self, t: dict, scope_id: int, pending_gotos: list,
-                       named_stack: tuple) -> None:
+                       named_stack: tuple, full_path: str = None) -> None:
         """Lower parallel_wait/parallel_race to device thread lanes.
 
         Reference semantics (interpolation_engine.py:1581-1626): gather/
@@ -476,23 +481,40 @@ class _Builder:
         # aux record: [mode, K, join_pc, loop_lo, loop_hi, entry_0..K-1]
         # (join/loop span/entries patched below, after bodies are emitted)
         base = self.put_aux([mode, K, 0, 0, 0] + [0] * K)
+        begin_pc = len(self.code)
         self.emit(isa.OP_PAR_BEGIN, base, task=t)
         loop_lo = self.n_loops
         self._par_depth += 1
+        lanes = []
         for ti, sub in enumerate(subtasks):
             self.aux[base + 5 + ti] = len(self.code)
+            sub_label = sub.get(
+                "traceback_label",
+                f"{sub.get('cmd')}-{sub.get('line', 0)}")
+            lanes.append((sub_label, len(self.code), sub))
             if sub.get("cmd") in ("goto", "goto_map", "label"):
                 # direct children: the reference asserts at runtime ("goto is
                 # not supported in parallel", :1314/:1335) — host re-raises
                 self.emit_park(PARK_HOST_OP, sub)
             else:
-                self.lower_task(sub, scope_id, pending_gotos, named_stack)
+                self.lower_task(sub, scope_id, pending_gotos, named_stack,
+                                path_prefix=full_path)
             self.emit(isa.OP_THREAD_END, base, task=t)
         self._par_depth -= 1
-        self.aux[base + 2] = len(self.code)       # join pc
+        join_pc = len(self.code)
+        self.aux[base + 2] = join_pc              # join pc
         self.aux[base + 3] = loop_lo              # loop ids inside the block:
         self.aux[base + 4] = self.n_loops         # reset on entry (race purge)
         self.needs_threads = max(self.needs_threads, K)
+        # per-lane save/resume metadata (keyed by join pc — unique, and
+        # available at runtime via VMInstance.par_join): lane subtask
+        # labels + entry pcs + source dicts, so export can emit the
+        # reference's per-lane `order_index/<path>` cursors and load can
+        # re-seed lane tpc from them (PARITY divergence 6)
+        self.par_blocks[join_pc] = {
+            "path": full_path, "mode": mode, "begin_pc": begin_pc,
+            "aux": base, "lanes": lanes,
+        }
 
 
 class _HostOnly(Exception):
@@ -552,4 +574,5 @@ def compile_program(program: dict) -> CompiledProgram:
         block_task_pcs=b.block_task_pcs,
         block_loop_id=b.block_loop_id,
         needs_threads=b.needs_threads,
+        par_blocks=b.par_blocks,
     )

@@ -609,7 +609,11 @@ class DeviceRunner:
             "inserts": decode_inserts(st),
             "output": decode_output(st),
         }
-        emit_cursors(self.compiled, state, pc, counters)
+        if int(st.par_mode) > 0:
+            # saved inside a parallel block: per-lane cursor chains
+            emit_par_cursors(self.compiled, state, st, counters)
+        else:
+            emit_cursors(self.compiled, state, pc, counters)
         return state
 
     def save_to_program(self, batch: VMInstance, i: int, slot: str,
@@ -634,15 +638,34 @@ class DeviceRunner:
         device cannot carry) are rejected — run those on the host engine.
         """
         counters = np.zeros((self.cfg.max_loops,), np.int32)
-        pc, leftovers = pc_of_state(self.compiled, state, counters)
+        pc, leftovers, par = pc_of_state(self.compiled, state, counters)
         if leftovers:
             raise ValueError(
                 f"state has block cursors below a host-op task "
                 f"{sorted(leftovers)}; resume requires the host engine")
         inserts = {k: v for k, v in state.get("inserts", {}).items()}
-        return encode_instance(inserts, self.cfg,
+        inst = encode_instance(inserts, self.cfg,
                                output=state.get("output", ""),
                                pc=pc, counters=counters, rng=seed)
+        if par is not None:
+            # the block re-runs with per-lane resume pcs (host: gather
+            # recreates every lane; serial lanes resume from their
+            # cursors, completed/cursor-less lanes restart) — seed the
+            # lane set directly, bypassing OP_PAR_BEGIN's fresh entries
+            from .config import T_NEW
+            NT = self.cfg.max_threads
+            tpc = np.zeros((NT,), np.int32)
+            tstate = np.zeros((NT,), np.int32)
+            for l in range(min(par["k"], NT)):
+                tpc[l] = par["tpc"][l]
+                tstate[l] = T_NEW
+            inst = inst._replace(
+                pc=jnp.int32(int(tpc[0])),
+                tpc=jnp.asarray(tpc), tstate=jnp.asarray(tstate),
+                cur_tid=jnp.int32(0),
+                par_mode=jnp.int32(par["mode"]),
+                par_join=jnp.int32(par["join_pc"]))
+        return inst
 
     def _pc_of_state(self, state: dict, counters) -> tuple:
         return pc_of_state(self.compiled, state, counters)
@@ -912,12 +935,51 @@ def emit_cursors(compiled, state: dict, pc: int, counters) -> None:
     """Reconstruct the reference's nested ``order_index/<path>`` cursor keys
     (and ``.../counter`` for ``for`` loops) from (pc, counter slots) —
     interpolation_engine.py:2089-2094."""
+    _walk_cursors(compiled, state, pc, counters,
+                  compiled.program["order"],
+                  compiled.block_task_pcs.get("", []), None)
+
+
+def emit_par_cursors(compiled, state: dict, st, counters) -> None:
+    """Per-lane cursors for an instance saved INSIDE a parallel block
+    (PARITY divergence 6; reference: each serial/for lane keeps its own
+    ``order_index/<par_path>/<lane_label>`` chain in the state —
+    interpolation_engine.py:1637-1652). Lanes that never ran (T_NEW) or
+    completed (T_DONE, cursor deleted on completion) emit nothing, like
+    the host."""
+    from .config import RUNNING as _RUN, T_READY, T_WAIT
+    block = compiled.par_blocks.get(int(st.par_join))
+    if block is None:
+        emit_cursors(compiled, state,
+                     min(int(st.pc), compiled.n_instr - 1), counters)
+        return
+    # top-level chain down to the parallel task itself
+    emit_cursors(compiled, state, block["begin_pc"], counters)
+    tstate = np.asarray(st.tstate)
+    tpc = np.asarray(st.tpc)
+    cur = int(st.cur_tid)
+    running = int(st.status) == _RUN
+    for l, (label, entry_pc, sub) in enumerate(block["lanes"]):
+        ts_l = int(tstate[l]) if l < len(tstate) else 0
+        if running and l == cur:
+            lane_pc = int(st.pc)
+        elif ts_l in (T_WAIT, T_READY):
+            lane_pc = int(tpc[l])
+        else:
+            continue
+        _walk_cursors(compiled, state, lane_pc, counters, [sub],
+                      [entry_pc], block["path"], emit_index=False)
+
+
+def _walk_cursors(compiled, state: dict, pc: int, counters, tasks, pcs,
+                  prefix, emit_index: bool = True) -> None:
+    """Emit cursor keys for position ``pc`` within a task list (``tasks``
+    whose subtask start pcs are ``pcs``, runtime-label prefix ``prefix``).
+    ``emit_index=False`` skips the first level's own index (used to root
+    the walk AT a parallel lane's subtask, which has no index of its own)."""
     from ..vm import isa as _isa
     named_tasks = compiled.program.get("named_tasks", {})
     code = compiled.code
-    tasks = compiled.program["order"]
-    pcs = compiled.block_task_pcs.get("", [])
-    prefix = None
     # a pc sitting on OP_FOR_NEXT means "iteration done": the host
     # equivalent is counter+1 with no body cursor
     at_for_next = pc < len(code) and int(code[pc][0]) == _isa.OP_FOR_NEXT
@@ -929,12 +991,14 @@ def emit_cursors(compiled, state: dict, pc: int, counters) -> None:
         if j == 0:
             j = 1  # before the first recorded start (defensive)
         if int(code[min(pc, len(code) - 1)][0]) == _isa.OP_HALT and \
-                prefix is None:
+                prefix is None and emit_index:
             state["order_index"] = len(tasks) + 1
             return
         key = "order_index" if prefix is None else \
             f"order_index/{prefix}"
-        state[key] = j
+        if emit_index:
+            state[key] = j
+        emit_index = True
         if j > len(tasks):
             return
         t = tasks[j - 1]
@@ -980,18 +1044,29 @@ def emit_cursors(compiled, state: dict, pc: int, counters) -> None:
 
 
 def pc_of_state(compiled, state: dict, counters) -> tuple:
-    """Resolve (order_index + nested cursors) -> (pc, unconsumed keys);
-    the inverse of emit_cursors. for-counters land in `counters`."""
+    """Resolve (order_index + nested cursors) -> (pc, unconsumed keys,
+    par); the inverse of emit_cursors. for-counters land in ``counters``.
+    ``par`` is None, or — when the state was saved inside a parallel
+    block and carries per-lane cursors — a dict {mode, join_pc, k, tpc}
+    describing the lane set to re-seed (the host equivalent: the block
+    re-runs, each lane resuming from its cursor or restarting —
+    interpolation_engine.py:1581-1626 after a load)."""
     cursors = {k for k in state if k.startswith("order_index/")}
     consumed: set = set()
+    pc, par = _resolve_chain(
+        compiled, state, counters, consumed,
+        compiled.program["order"], compiled.block_task_pcs.get("", []),
+        int(state.get("order_index", 1)), None)
+    return pc, cursors - consumed, par
+
+
+def _resolve_chain(compiled, state: dict, counters, consumed: set,
+                   tasks, pcs, k: int, prefix):
+    """Walk one cursor chain to its pc (helper of pc_of_state)."""
     named_tasks = compiled.program.get("named_tasks", {})
-    tasks = compiled.program["order"]
-    pcs = compiled.block_task_pcs.get("", [])
-    k = int(state.get("order_index", 1))
-    prefix = None
     while True:
         if k > len(tasks) and prefix is None:
-            return compiled.n_instr - 1, cursors - consumed  # HALT
+            return compiled.n_instr - 1, None  # HALT
         if not (1 <= k <= len(tasks)):
             raise ValueError(f"cursor {k} out of range for block "
                              f"{prefix!r}")
@@ -1021,7 +1096,7 @@ def pc_of_state(compiled, state: dict, counters) -> tuple:
                 k = int(state[key])
                 prefix = path
                 continue
-            return pc, cursors - consumed
+            return pc, None
         if cmd == "for":
             ckey = f"order_index/{path}/counter"
             bkey = f"order_index/{path}"
@@ -1037,5 +1112,23 @@ def pc_of_state(compiled, state: dict, counters) -> tuple:
                 k = int(state[bkey])
                 prefix = path
                 continue
-            return pc, cursors - consumed
-        return pc, cursors - consumed
+            return pc, None
+        if cmd in ("parallel_wait", "parallel_race"):
+            hit = next(((jpc, bl)
+                        for jpc, bl in compiled.par_blocks.items()
+                        if bl["path"] == path), None)
+            lane_keys = {c for c in state
+                         if c.startswith(f"order_index/{path}/")}
+            if hit is None or not lane_keys:
+                # fresh entry: OP_PAR_BEGIN spawns the lanes normally
+                return pc, None
+            join_pc, block = hit
+            tpcs = []
+            for (lane_label, entry_pc, sub) in block["lanes"]:
+                lane_pc, _sub_par = _resolve_chain(
+                    compiled, state, counters, consumed,
+                    [sub], [entry_pc], 1, path)
+                tpcs.append(int(lane_pc))
+            return pc, {"mode": block["mode"], "join_pc": join_pc,
+                        "k": len(block["lanes"]), "tpc": tpcs}
+        return pc, None

@@ -1810,11 +1810,15 @@ class TurboEngine:
         chains resolve to a pc; for-counters land in loop columns)."""
         from .driver import pc_of_state
         counters = np.zeros((max(self.cols.n_loops, 1),), np.int32)
-        pc, leftovers = pc_of_state(self.compiled, state, counters)
+        pc, leftovers, par = pc_of_state(self.compiled, state, counters)
         if leftovers:
             raise ValueError(
                 f"state has block cursors below a host-op task "
                 f"{sorted(leftovers)}; resume requires the host engine")
+        if par is not None:
+            raise ValueError(
+                "state was saved inside a parallel block; resume it on "
+                "the general device engine (per-lane re-seed)")
         row = self._encode_row(dict(state.get("inserts", {})),
                                state.get("output", ""), pc, 0)
         lc0 = self.cols._loops0

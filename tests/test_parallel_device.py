@@ -257,24 +257,61 @@ def test_nested_parallel_parks_to_ring(tmp_path, capsys):
     assert r.inserts == host_ins
 
 
-def test_mid_parallel_export_restarts_block(capsys):
-    """Exporting an instance parked inside a parallel block yields the
-    block's own top-level cursor (restart-the-block semantics — exact
-    per-lane fidelity needs the host engine; documented divergence)."""
+def test_mid_parallel_export_resumes_per_lane(capsys):
+    """Exporting an instance parked inside a parallel block yields
+    PER-LANE cursor chains (PARITY divergence 6, closed in round 3): each
+    waiting serial lane records its own order_index/<par>/<serial> cursor
+    exactly like the reference's state dict mid-block
+    (interpolation_engine.py:1637-1652), and resume re-enters each lane at
+    its cursor instead of restarting the block."""
+    import jax
+    import jax.numpy as jnp
+    from interpolation_engine_tpu.vm.driver import _index
+
+    class BlockingBackend(ScriptedBackend):
+        """user_input that never resolves — the save-point snapshot."""
+
+        async def user_input(self, prompt, default=""):
+            await asyncio.Event().wait()
+
     compiled = compile_src(WAIT_SRC)
-    runner = DeviceRunner(compiled, CFG,
-                          io_factory=lambda i: IOManager(ScriptedBackend([])))
-    batch = runner.make_instances(1)
-    for _ in range(4):
-        batch = runner._jitted(batch, 8)
+    runner = DeviceRunner(
+        compiled, CFG,
+        io_factory=lambda i: IOManager(BlockingBackend([])))
+
+    async def snapshot():
+        # lane0 runs + parks; one ring round switches to lane1 (asyncio
+        # gives every gathered task its first slice before any save
+        # point); lane1 runs + parks → both lanes waiting
+        b = runner.make_instances(1)
+        for _ in range(4):
+            b = runner._jitted(b, 8)
+        sub = jax.tree.map(lambda a: np.asarray(a), b)
+        st = await runner._service_instance(_index(sub, 0), 0, {})
+        b = jax.tree.map(lambda x, s: x.at[0].set(jnp.asarray(s)), b, st)
+        for _ in range(4):
+            b = runner._jitted(b, 8)
+        state = runner.export_state(b, 0)
+        await runner._cancel_pending(0)
+        return b, state
+
+    batch, state = asyncio.run(snapshot())
     assert int(batch.status[0]) == PARKED
     assert int(batch.park_kind[0]) == PARK_THREADS
-    state = runner.export_state(batch, 0)
     capsys.readouterr()
     assert state["order_index"] == 2  # the parallel_wait task itself
-    assert not any(k.startswith("order_index/") for k in state)
+    lane_keys = sorted(k for k in state if k.startswith("order_index/"))
+    # EXACTLY the host's keys mid-block (incl. the reference's doubled
+    # parallel label — traceback labels are chains and runtime labels
+    # re-prepend the parent, a preserved quirk)
+    par = "parallel_wait-6/parallel_wait-6"
+    assert lane_keys == [f"order_index/{par}/serial-12",
+                         f"order_index/{par}/serial-7"], state
+    assert all(state[k] == 2 for k in lane_keys)  # each at its user_input
+    assert state["output"] == "a;t0;t1;"
 
-    # resuming that export replays the whole block
+    # resume: lanes pick up AT their user_inputs — the lane prefixes
+    # (t0;/t1;) must NOT re-print (restart-the-block would re-run them)
     resumed = DeviceRunner(
         compiled, CFG,
         io_factory=lambda i: IOManager(ScriptedBackend(["one", "two"])))
@@ -283,7 +320,7 @@ def test_mid_parallel_export_restarts_block(capsys):
     r = resumed.results(final)[0]
     capsys.readouterr()
     assert r.status == DONE
-    assert r.output.endswith("z")
+    assert r.output == "a;t0;t1;x=one;y=two;z"
 
 
 def test_parallel_batch_lockstep(capsys):
