@@ -364,12 +364,79 @@ def test_not_turbo_shapes():
 def gen_turbo_program(rng: random.Random):
     keys = ["k1", "k2", "k3"]
     inserts = {"k1": rng.choice(["hello", 7, "a b"]),
-               "k2": rng.randint(-9, 99), "w": "go"}
+               "k2": rng.randint(-9, 99), "w": "go",
+               "lst": [rng.choice(["e1", "x", str(rng.randint(0, 9))])
+                       for _ in range(rng.randint(0, 4))]}
     tasks = []
     n_labels = 0
     for _ in range(rng.randint(2, 8)):
         kind = rng.choice(["print", "set", "math", "delete", "label_goto",
-                           "goto_map", "for"])
+                           "goto_map", "for", "list_op", "parallel"])
+        if kind == "list_op":
+            op = rng.choice(["append", "index", "slice", "join", "remove",
+                             "length", "dynfor"])
+            if op == "append":
+                tasks.append({"cmd": "list_append", "list": "{lst}",
+                              "item": rng.choice(["z", "{w}", "i{k2}"]),
+                              "output_name": "lst"})
+            elif op == "index":
+                tasks.append({"cmd": "list_index", "list": "{lst}",
+                              "index": rng.choice([1, -1, 2, "2"]),
+                              "output_name": rng.choice(keys)})
+                # indexing may raise on short lists (host IndexError):
+                # keep the sweep on live programs by bounding via length
+                tasks[-1:-1] = [
+                    {"cmd": "math", "input": "length(lst)",
+                     "output_name": "n"},
+                    {"cmd": "goto_map", "text": "{n}",
+                     "target_maps": [{"0": f"@S{n_labels}"},
+                                     {"1": f"@S{n_labels}"},
+                                     {"*": "CONTINUE"}]}]
+                tasks.append({"cmd": "label", "name": f"@S{n_labels}"})
+                n_labels += 1
+            elif op == "slice":
+                tasks.append({"cmd": "list_slice", "list": "{lst}",
+                              "from_index": rng.choice([1, 2, -2]),
+                              "to_index": rng.choice([0, 2, -1, 9,
+                                                      "length(lst)"]),
+                              "output_name": rng.choice(["lst", "l2"])})
+            elif op == "join":
+                tasks.append({"cmd": "list_join", "list": "{lst}",
+                              "before": rng.choice(["", "<"]),
+                              "between": rng.choice(["", ",", "-"]),
+                              "after": rng.choice(["", ">"]),
+                              "output_name": rng.choice(keys)})
+            elif op == "remove":
+                tasks.append({"cmd": "list_remove", "list": "{lst}",
+                              "item": rng.choice(["e1", "x", "absent"]),
+                              "output_name": "lst"})
+            elif op == "length":
+                tasks.append({"cmd": "math", "input": "length(lst) * 2",
+                              "output_name": rng.choice(keys)})
+            else:  # dynfor
+                tasks.append({"cmd": "for", "name_list_map":
+                              {"dv": "{lst}"},
+                              "tasks": [{"cmd": "print",
+                                         "text": "[{dv}]"}]})
+            continue
+        if kind == "parallel":
+            mode = rng.choice(["parallel_wait", "parallel_race"])
+            lanes = []
+            for li in range(rng.randint(2, 3)):
+                # lane items must not be able to raise: a raced raising
+                # lane hits the reference's nondeterministic done.pop()
+                # (PARITY divergence 7 — resolved deterministically here),
+                # which a strict equality sweep can't assert on. 'w' is
+                # never deleted by the generator's delete wildcards.
+                body = [{"cmd": "set",
+                         "item": rng.choice(["p", "{w}", "q-{w}"]),
+                         "output_name": rng.choice(keys + ["pv"])}]
+                if rng.random() < 0.5:
+                    body.append({"cmd": "print", "text": f"l{li};"})
+                lanes.append({"cmd": "serial", "tasks": body}
+                             if rng.random() < 0.7 else body[0])
+            tasks.append({"cmd": mode, "tasks": lanes})
+            continue
         if kind == "for":
             n = rng.randint(1, 4)
             var = rng.choice(["it", "jt"])
