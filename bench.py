@@ -12,6 +12,9 @@ Workloads (BENCH_WORKLOAD env):
   spine — round-2's 7-instruction scalar loop (best case, for continuity).
   divergent — the adventure spine with instances fanned across
       BENCH_DIVERGENCE distinct pcs (min-pc scheduling worst case).
+  ring — BENCH_RING_FRAC (default 10%) of instances park through the
+      host ring every loop iteration (user_input serviced by a canned
+      backend); reports the ring's wall-clock share on stderr.
 
 Engines (BENCH_ENGINE env): turbo (default) | general.
 
@@ -46,6 +49,29 @@ BENCH_PROGRAM = """
         ]},
         {cmd:'label', name:'@end'},
         {cmd:'print', text:'done acc={acc}'},
+    ],
+    named_tasks: {}, save_states: {},
+}
+"""
+
+
+RING_PROGRAM = """
+{
+    default_state: {order_index: 1, inserts: {i: 0, acc: 0, sel: 'spin'}},
+    order: [
+        {cmd:'label', name:'@loop'},
+        {cmd:'math', input:'{i} + 1', output_name:'i'},
+        {cmd:'goto_map', text:'{sel}', target_maps:[
+            {'park': '@ask'}, {'*': '@skip'}]},
+        {cmd:'label', name:'@ask'},
+        {cmd:'user_input', prompt:'? ', output_name:'ans'},
+        {cmd:'label', name:'@skip'},
+        {cmd:'math', input:'{acc} + {i} % 7', output_name:'acc'},
+        {cmd:'set', item:'s-{i}', output_name:'tag'},
+        {cmd:'goto_map', text:'{i}', target_maps:[
+            {'1073741824': '@end'}, {'*': '@loop'}]},
+        {cmd:'label', name:'@end'},
+        {cmd:'print', text:'done {acc}'},
     ],
     named_tasks: {}, save_states: {},
 }
@@ -158,6 +184,8 @@ def measure():
 
     if workload == "spine":
         src = BENCH_PROGRAM
+    elif workload == "ring":
+        src = RING_PROGRAM
     else:
         src = adventure_program(int(os.environ.get("BENCH_ROOMS", 6)))
     program = json5.loads(add_line_numbers(src))
@@ -175,7 +203,10 @@ def measure():
     engine = os.environ.get("BENCH_ENGINE", "turbo")
     divergence = int(os.environ.get(
         "BENCH_DIVERGENCE", 8 if workload == "divergent" else 0))
-    if engine == "turbo":
+    if workload == "ring":
+        executed, elapsed, compile_s = _measure_ring(
+            compiled, n_instances, rounds)
+    elif engine == "turbo":
         executed, elapsed, compile_s = _measure_turbo(
             compiled, n_instances, rounds, on_accel, divergence)
     else:
@@ -239,6 +270,56 @@ def _measure_turbo(compiled, n_instances, rounds, on_accel,
     jax.block_until_ready(batch.regs)
     elapsed = time.perf_counter() - t0
     steps1 = int(np.asarray(batch.regs[:, 2]).sum())
+    return steps1 - steps0, elapsed, compile_s
+
+
+def _measure_ring(compiled, n_instances, rounds):
+    """Ring pressure: BENCH_RING_FRAC of instances hit a user_input every
+    loop iteration (serviced by a canned backend); the rest spin on pure
+    compute. Reports the ring's wall-clock share (VERDICT r2 weak #1)."""
+    import asyncio
+    import numpy as np
+    import jax
+    from interpolation_engine_tpu.io.manager import BufferBackend, IOManager
+    from interpolation_engine_tpu.vm.turbo import TurboConfig, TurboEngine
+
+    frac = float(os.environ.get("BENCH_RING_FRAC", 0.10))
+
+    class CannedBackend(BufferBackend):
+        async def user_input(self, prompt, default=""):
+            return "ok"
+
+    inner_steps = int(os.environ.get("BENCH_INNER_STEPS", 64))
+    tcfg = TurboConfig(tile=int(os.environ.get("BENCH_TILE", 512)),
+                       width=128, out_width=192, k_steps=inner_steps)
+    eng = TurboEngine(compiled, tcfg,
+                      io_factory=lambda i: IOManager(CannedBackend()))
+    inserts = dict(compiled.program["default_state"]["inserts"])
+    states = []
+    for i in range(n_instances):
+        ins = dict(inserts)
+        if i % max(int(1 / max(frac, 1e-9)), 1) == 0:
+            ins["sel"] = "park"
+        states.append({"inserts": ins, "output": "", "order_index": 1})
+    batch = eng.load_batch(states)
+    step = eng.step_fn(batch.regs.shape[0])
+
+    t0 = time.perf_counter()
+    batch = step(batch)
+    jax.block_until_ready(batch.regs)
+    compile_s = time.perf_counter() - t0
+
+    steps0 = int(np.asarray(batch.regs[:, 2]).sum())
+    t0 = time.perf_counter()
+    batch = asyncio.run(eng.run_async(batch, max_rounds=rounds))
+    jax.block_until_ready(batch.regs)
+    elapsed = time.perf_counter() - t0
+    steps1 = int(np.asarray(batch.regs[:, 2]).sum())
+    rs = eng.ring_stats
+    print(f"# ring: rounds={rs['rounds']} parks={rs['parks']} "
+          f"ring_ms={rs['ring_ms']:.1f} "
+          f"ring_share={rs['ring_ms'] / max(elapsed * 1e3, 1e-9):.3f}",
+          file=sys.stderr)
     return steps1 - steps0, elapsed, compile_s
 
 
