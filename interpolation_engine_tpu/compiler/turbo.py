@@ -676,6 +676,18 @@ def plan_turbo(compiled: CompiledProgram) -> TurboPlan:
 
     plan.needs_threads = compiled.needs_threads
     plan.slot_kinds = _infer_slot_kinds(plan)
+
+    # post-pass: list_join's before/between/after are interpolated by
+    # recursive_interpolate, so a SINGLE-hole template passes the RAW
+    # value through — a non-str value TypeErrors on the host
+    # (int.join/str+int). Only str-kind slots are safe to render.
+    for pc, ins in enumerate(plan.instrs):
+        if isinstance(ins, IListJoin):
+            for part in (ins.before, ins.between, ins.after):
+                if len(part) == 1 and isinstance(part[0], Hole) and \
+                        plan.slot_kinds[part[0].slot] != K_STR:
+                    plan.instrs[pc] = park(pc)
+                    break
     return plan
 
 

@@ -764,6 +764,32 @@ def test_turbo_list_edge_cases(tmp_path, capsys):
         assert r.inserts == dict(host["inserts"])
 
 
+def test_list_join_int_separator_parks(tmp_path, capsys):
+    """list_join with a simple-key 'between' holding an int: the host gets
+    the RAW value and TypeErrors (int has no .join) — turbo must park and
+    reproduce the crash, never stringify-and-join."""
+    src = """
+    {
+        default_state: {order_index: 1, inserts: {n: 3, l: ['a','b']}},
+        order: [
+            {cmd:'list_join', list:'{l}', before:'', between:'{n}',
+             after:'', output_name:'j'},
+            {cmd:'print', text:'{j}'},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """
+    from interpolation_engine_tpu.compiler.turbo import IPark
+    plan = plan_turbo(compile_src(src))
+    assert isinstance(plan.instrs[0], IPark)
+    with pytest.raises(Exception) as host_err:
+        run_host(src, tmp_path)
+    capsys.readouterr()
+    with pytest.raises(Exception) as dev_err:
+        run_turbo(src, n=1)
+    assert type(dev_err.value).__name__ == type(host_err.value).__name__
+
+
 PAR_RACE = """
 {
     default_state: {order_index: 1, inserts: {x: '(unset)'}},
