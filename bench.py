@@ -241,9 +241,10 @@ def _measure_turbo(compiled, n_instances, rounds, on_accel,
     inner_steps = int(os.environ.get("BENCH_INNER_STEPS", 64))
     # tile sizing: the scalar spine fits (and is fastest) at 512; the
     # adventure kernel's fattest branches (list slice/remove: E dynamic
-    # element reads each) blow scoped VMEM at 512 (151M/128M measured) —
-    # 128 fits AND compiles ~4× faster (Mosaic unrolls per-vreg)
-    default_tile = 512 if compiled.n_instr <= 16 else 128
+    # element reads each) blow scoped VMEM at 512 (151M/128M) and still
+    # exceed the 16M scoped limit by 0.8M at 128 — 64 fits, and smaller
+    # tiles also compile ~4× faster per halving (Mosaic unrolls per-vreg)
+    default_tile = 512 if compiled.n_instr <= 16 else 64
     tcfg = TurboConfig(tile=int(os.environ.get("BENCH_TILE", default_tile)),
                        width=128, out_width=192, k_steps=inner_steps)
     eng = TurboEngine(compiled, tcfg)

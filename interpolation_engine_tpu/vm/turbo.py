@@ -120,8 +120,13 @@ class _Cols:
     plus the plan's slot-kind table: byte planes exist only for slots that
     can ever hold a string (kind 'str'/'mix'); 'int' and 'none' slots are
     register-only, and branch builders skip their dead paths entirely.
-    List slots own packed element byte rows: PACK = width // elem_width
-    elements per row, ceil(E / PACK) rows each, appended after the string
+
+    List slots own (a) one META row — element scalars packed into the 128
+    lanes of a single int32 plane: lanes [0,E) = etype, [E,2E) = eint,
+    [2E,3E) = elen — so whole-pool scalar moves (slice/remove/concat) are
+    ONE lane-gather instead of E² register selects; and (b) packed element
+    byte rows: PACK = width // elem_width elements per row,
+    ceil(E / PACK) rows each. Meta + element rows append after the string
     rows."""
 
     def __init__(self, S: int, kinds=None, n_loops: int = 0,
@@ -134,33 +139,37 @@ class _Cols:
         self.ew = elem_width
         self.pack = max(width // elem_width, 1)
         self.width = width
+        if 3 * self.E > 128:
+            raise NotTurbo(f"list_cap {self.E} exceeds the meta row "
+                           f"(3*E must fit 128 lanes)")
         self.kinds = list(kinds) if kinds else ["mix"] * S
         if len(self.kinds) < S:
             self.kinds += ["mix"] * (S - len(self.kinds))
         self._threads0 = C_BASE
         self._slots0 = self._threads0 + 3 * nt
         self._loops0 = self._slots0 + 3 * S
-        self._lists0 = self._loops0 + n_loops
         self.list_ord = {}
         for s, k in enumerate(self.kinds):
             if k == "list":
                 self.list_ord[s] = len(self.list_ord)
-        n_cols = self._lists0 + 3 * self.E * len(self.list_ord)
+        n_cols = self._loops0 + n_loops
         self.regw = max(((n_cols + 127) // 128) * 128, 128)
         if self.regw > 512:
             raise NotTurbo(
-                f"{S} slots / {len(self.list_ord)} lists / {nt} lanes "
-                f"need {n_cols} register columns (> 512)")
+                f"{S} slots / {nt} lanes need {n_cols} register "
+                f"columns (> 512)")
         self.str_row = {}
         for s, k in enumerate(self.kinds):
             if k in ("str", "mix"):
                 self.str_row[s] = len(self.str_row)
         self.elem_rows = (self.E + self.pack - 1) // self.pack
-        self.list_row0 = {}   # list slot -> first element row
+        self.meta_row = {}    # list slot -> meta row index
+        self.list_row0 = {}   # list slot -> first element byte row
         nrows = len(self.str_row)
         for s in sorted(self.list_ord):
-            self.list_row0[s] = nrows
-            nrows += self.elem_rows
+            self.meta_row[s] = nrows
+            self.list_row0[s] = nrows + 1
+            nrows += 1 + self.elem_rows
         self.n_rows = max(nrows, 1)
 
     def stype(self, s: int) -> int:
@@ -187,16 +196,6 @@ class _Cols:
 
     def tparg(self, lane: int) -> int:
         return self._threads0 + 2 * self.nt + lane
-
-    # list element cells
-    def etype(self, s: int, e: int) -> int:
-        return self._lists0 + 3 * self.E * self.list_ord[s] + e
-
-    def eint(self, s: int, e: int) -> int:
-        return self._lists0 + 3 * self.E * self.list_ord[s] + self.E + e
-
-    def elen(self, s: int, e: int) -> int:
-        return self._lists0 + 3 * self.E * self.list_ord[s] + 2 * self.E + e
 
     def elem_pos(self, s: int, e: int) -> tuple:
         """(byte row, byte offset) of element e of list slot s."""
@@ -378,21 +377,98 @@ def _elem_bytes_static(ts: _TS, cols: _Cols, s: int, e: int, t: int,
         pos = _iota(t, w)
         src = jnp.take_along_axis(src, jnp.clip(pos + off, 0, w - 1),
                                   axis=1)
-    el = _rd(ts, cols.elen(s, e))
+    el = jax.lax.slice_in_dim(ts.strs[cols.meta_row[s]],
+                              2 * cols.E + e, 2 * cols.E + e + 1, axis=1)
     pos = _iota(t, w)
     return jnp.where(pos < jnp.minimum(el, cols.ew), src, 0)
+
+
+def _meta_cell_static(ts: _TS, cols: _Cols, s: int, e: int):
+    """(etype, eint, elen) of STATIC element e — free static slices."""
+    row = ts.strs[cols.meta_row[s]]
+    E = cols.E
+    return (jax.lax.slice_in_dim(row, e, e + 1, axis=1),
+            jax.lax.slice_in_dim(row, E + e, E + e + 1, axis=1),
+            jax.lax.slice_in_dim(row, 2 * E + e, 2 * E + e + 1, axis=1))
+
+
+def _meta_cell_dyn(ts: _TS, cols: _Cols, s: int, j, t: int, w: int):
+    """(etype, eint, elen) of DYNAMIC element j — three mask-reduces."""
+    row = ts.strs[cols.meta_row[s]]
+    lane = _iota(t, w)
+
+    def sec(base):
+        return jnp.sum(jnp.where(lane == base + j, row, 0), axis=1,
+                       keepdims=True)
+    return sec(0), sec(cols.E), sec(2 * cols.E)
+
+
+def _meta_write_cell(row, cols: _Cols, j, et, ei, el, mask, t: int,
+                     w: int):
+    """Write one (dynamic) element's scalars into a meta row."""
+    lane = _iota(t, w)
+    E = cols.E
+    v = jnp.where(lane == j, et,
+                  jnp.where(lane == E + j, ei,
+                            jnp.where(lane == 2 * E + j, el, row)))
+    return jnp.where(mask, v, row)
+
+
+def _meta_shift(row, cols: _Cols, k, t: int, w: int):
+    """Every section's cells shifted left by (dynamic) k elements
+    (negative k shifts right). Cross-section bleed lands only in cells at
+    or past each section's new count — never read."""
+    lane = _iota(t, w)
+    idx = jnp.clip(lane + k, 0, w - 1)
+    return jnp.take_along_axis(row, idx, axis=1)
+
+
+def _lane_rel(cols: _Cols, t: int, w: int):
+    """lane % E for the three meta sections (junk past lane 3E)."""
+    return _iota(t, w) % cols.E
+
+
+def _pool_rows(ts: _TS, cols: _Cols, s: int):
+    return [ts.strs[cols.list_row0[s] + r] for r in range(cols.elem_rows)]
+
+
+def _pool_shift_left_bytes(ts: _TS, cols: _Cols, s: int, off, t: int,
+                           w: int):
+    """Element byte rows of s shifted LEFT by dynamic byte offset off —
+    ER(ER+1)/2 same-shape gathers total."""
+    rows = _pool_rows(ts, cols, s)
+    pos = _iota(t, w)
+    out = []
+    for r in range(cols.elem_rows):
+        acc = rows[r] * 0
+        for q in range(r, cols.elem_rows):
+            rel = off + (r - q) * w
+            idx = pos + rel
+            g = jnp.take_along_axis(rows[q], jnp.clip(idx, 0, w - 1),
+                                    axis=1)
+            acc = jnp.where((idx >= 0) & (idx < w), g, acc)
+        out.append(acc)
+    return out
+
+
+def _pool_place_bytes(strs: list, cols: _Cols, s: int, payload, off,
+                      mask, nbytes, t: int, w: int):
+    """Write `nbytes` bytes of the left-aligned payload into slot s's
+    byte pool at dynamic byte offset `off` (masked lanes only; the whole
+    window is overwritten, clearing stale bytes)."""
+    pos = _iota(t, w)
+    for r in range(cols.elem_rows):
+        row_i = cols.list_row0[s] + r
+        idx = pos + r * w - off
+        g = jnp.take_along_axis(payload, jnp.clip(idx, 0, w - 1), axis=1)
+        win = (idx >= 0) & (idx < nbytes)
+        strs[row_i] = jnp.where(mask & win, g, strs[row_i])
 
 
 def _elem_read(ts: _TS, cols: _Cols, s: int, j, t: int, w: int):
     """Read element at DYNAMIC 0-based index j of list slot s →
     (etype, eint, elen, ebuf) with ebuf left-aligned (t, w)."""
-    zero = j * 0
-    et, ei, el = zero, zero, zero
-    for e in range(cols.E):
-        sel = j == e
-        et = jnp.where(sel, _rd(ts, cols.etype(s, e)), et)
-        ei = jnp.where(sel, _rd(ts, cols.eint(s, e)), ei)
-        el = jnp.where(sel, _rd(ts, cols.elen(s, e)), el)
+    et, ei, el = _meta_cell_dyn(ts, cols, s, j, t, w)
     row0 = cols.list_row0[s]
     acc = ts.strs[row0]
     for r in range(1, cols.elem_rows):
@@ -422,8 +498,7 @@ def _repr_list(ts: _TS, cols: _Cols, s: int, t: int, w: int):
         if e > 0:
             sep = jnp.where(pos == 0, 44, jnp.where(pos == 1, 32, 0))
             buf, ln = _append(buf, ln, sep, jnp.where(live, 2, 0), t, w)
-        et = _rd(ts, cols.etype(s, e))
-        el = _rd(ts, cols.elen(s, e))
+        et, ei, el = _meta_cell_static(ts, cols, s, e)
         ebuf = _elem_bytes_static(ts, cols, s, e, t, w)
         bad = jnp.any(((ebuf < 32) | (ebuf > 126) | (ebuf == 39) |
                        (ebuf == 92)) & (pos < el),
@@ -432,7 +507,7 @@ def _repr_list(ts: _TS, cols: _Cols, s: int, t: int, w: int):
         park = park | (live & is_str & bad)
         quote = jnp.where(pos == 0, 39, 0)      # '\''
         q_len = jnp.where(live & is_str, one, 0)
-        ibuf, iln = _int_to_dec(_rd(ts, cols.eint(s, e)), t, w)
+        ibuf, iln = _int_to_dec(ei, t, w)
         body = jnp.where(is_str, ebuf, ibuf)
         blen = jnp.where(live, jnp.where(is_str, el, iln), 0)
         buf, ln = _append(buf, ln, quote, q_len, t, w)
@@ -459,8 +534,7 @@ def _join_elems(ts: _TS, cols: _Cols, s: int, t: int, w: int,
             bbuf, bln = between
             buf, ln = _append(buf, ln, bbuf,
                               jnp.where(live, bln, 0), t, w)
-        et = _rd(ts, cols.etype(s, e))
-        el = _rd(ts, cols.elen(s, e))
+        et, _ei, el = _meta_cell_static(ts, cols, s, e)
         park = park | (live & (et != T_STR))
         ebuf = _elem_bytes_static(ts, cols, s, e, t, w)
         buf, ln = _append(buf, ln, ebuf, jnp.where(live, el, 0), t, w)
@@ -706,14 +780,14 @@ def _eval_rpn(ts: _TS, cols: _Cols, ops: tuple, t: int, w: int):
     return stack.pop(), parkm
 
 
-def _list_cell_writes(ts: _TS, cols: _Cols, s: int, values: list):
-    """Register writes for element cells of list slot s. values[e] =
-    (vt, vi, vln) traced scalars (callers guarantee ≤ E entries)."""
-    writes = []
-    for e, (vt, vi, vln) in enumerate(values):
-        writes += [(cols.etype(s, e), vt), (cols.eint(s, e), vi),
-                   (cols.elen(s, e), vln)]
-    return writes
+def _copy_list_rows(ts: _TS, strs: list, cols: _Cols, dst: int, src: int,
+                    mask) -> None:
+    """Copy slot src's meta + element byte rows onto dst (masked)."""
+    pairs = [(cols.meta_row[dst], cols.meta_row[src])]
+    pairs += [(cols.list_row0[dst] + r, cols.list_row0[src] + r)
+              for r in range(cols.elem_rows)]
+    for d, s_ in pairs:
+        strs[d] = jnp.where(mask, ts.strs[s_], strs[d])
 
 
 def _place_elem(strs: list, cols: _Cols, s: int, e: int, vbuf, mask,
@@ -831,19 +905,8 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
                           (cols.slen(out_slot), _rd(ts, cols.slen(src_slot)))]
                 strs = None
                 if out_slot != src_slot:
-                    for e in range(cols.E):
-                        writes += [
-                            (cols.etype(out_slot, e),
-                             _rd(ts, cols.etype(src_slot, e))),
-                            (cols.eint(out_slot, e),
-                             _rd(ts, cols.eint(src_slot, e))),
-                            (cols.elen(out_slot, e),
-                             _rd(ts, cols.elen(src_slot, e)))]
                     strs = list(ts.strs)
-                    for r in range(cols.elem_rows):
-                        dst = cols.list_row0[out_slot] + r
-                        src = cols.list_row0[src_slot] + r
-                        strs[dst] = jnp.where(ok, strs[src], strs[dst])
+                    _copy_list_rows(ts, strs, cols, out_slot, src_slot, ok)
                     strs = tuple(strs)
                 return _advance(ts, cols, act, ok, parkm, next_pc,
                                 writes=writes, strs=strs)
@@ -1041,10 +1104,19 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
             for e, vbuf in enumerate(bufs):
                 if vbuf is not None:
                     _place_elem(strs, cols, out_slot, e, vbuf, ok, t, w)
-            writes = _list_cell_writes(ts, cols, out_slot, values)
-            writes += [(cols.stype(out_slot), T_LIST),
-                       (cols.sint(out_slot), 0),
-                       (cols.slen(out_slot), len(elems))]
+            lane = _iota(t, w)
+            meta = strs[cols.meta_row[out_slot]]
+            E = cols.E
+            for e, (vt, vi, vln) in enumerate(values):
+                meta = jnp.where(lane == e, vt,
+                                 jnp.where(lane == E + e, vi,
+                                           jnp.where(lane == 2 * E + e,
+                                                     vln, meta)))
+            strs[cols.meta_row[out_slot]] = jnp.where(
+                ok, meta, strs[cols.meta_row[out_slot]])
+            writes = [(cols.stype(out_slot), T_LIST),
+                      (cols.sint(out_slot), 0),
+                      (cols.slen(out_slot), len(elems))]
             return _advance(ts, cols, act, ok, parkm, next_pc,
                             writes=writes, strs=tuple(strs))
         return br
@@ -1054,7 +1126,6 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
 
         def br(ts):
             act = active_of(ts)
-            zero_i = _rd(ts, C_PC) * 0
             st = _rd(ts, cols.stype(src_slot))
             n = _rd(ts, cols.slen(src_slot))
             vt, vi, vbuf, vln, parkm = _eval_item(ts, cols, item, t, w, lit)
@@ -1067,22 +1138,14 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
                       (cols.slen(out_slot), n + 1)]
             strs = list(ts.strs)
             if out_slot != src_slot:
-                for r in range(cols.elem_rows):
-                    dst = cols.list_row0[out_slot] + r
-                    src = cols.list_row0[src_slot] + r
-                    strs[dst] = jnp.where(ok, strs[src], strs[dst])
+                _copy_list_rows(ts, strs, cols, out_slot, src_slot, ok)
+            meta = _meta_write_cell(strs[cols.meta_row[out_slot]], cols,
+                                    n, vt, vi, vln, ok, t, w)
+            strs[cols.meta_row[out_slot]] = meta
             if vbuf is None:
                 vbuf = _iota(t, w) * 0
-            for e in range(cols.E):
-                sel = n == e
-                writes += [
-                    (cols.etype(out_slot, e),
-                     jnp.where(sel, vt, _rd(ts, cols.etype(src_slot, e)))),
-                    (cols.eint(out_slot, e),
-                     jnp.where(sel, vi, _rd(ts, cols.eint(src_slot, e)))),
-                    (cols.elen(out_slot, e),
-                     jnp.where(sel, vln, _rd(ts, cols.elen(src_slot, e))))]
-                _place_elem(strs, cols, out_slot, e, vbuf, ok & sel, t, w)
+            _pool_place_bytes(strs, cols, out_slot, vbuf, n * cols.ew,
+                              ok, cols.ew, t, w)
             return _advance(ts, cols, act, ok, parkm, next_pc,
                             writes=writes, strs=tuple(strs))
         return br
@@ -1101,9 +1164,7 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
             # bytes; int never equals str — list.remove uses ==)
             m = zero_i + cols.E      # E = "not found"
             for e in reversed(range(cols.E)):
-                et = _rd(ts, cols.etype(src_slot, e))
-                ei = _rd(ts, cols.eint(src_slot, e))
-                el = _rd(ts, cols.elen(src_slot, e))
+                et, ei, el = _meta_cell_static(ts, cols, src_slot, e)
                 int_eq = (vt == T_INT) & (et == T_INT) & (ei == vi)
                 if vbuf is not None:
                     ebuf = _elem_bytes_static(ts, cols, src_slot, e, t, w)
@@ -1122,16 +1183,27 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
                       (cols.sint(out_slot), 0),
                       (cols.slen(out_slot), new_n)]
             strs = list(ts.strs)
-            for e in range(cols.E):
-                j = jnp.where(found & (e >= m), e + 1, e)
-                et, ei, el, ebuf = _elem_read(ts, cols, src_slot,
-                                              jnp.minimum(j, cols.E - 1),
-                                              t, w)
-                writes += [(cols.etype(out_slot, e), et),
-                           (cols.eint(out_slot, e), ei),
-                           (cols.elen(out_slot, e), el)]
-                _place_elem(strs, cols, out_slot, e, ebuf,
-                            ok & (e < new_n), t, w)
+            # meta: cells < m keep, cells >= m take cell+1 (static shift)
+            meta_src = ts.strs[cols.meta_row[src_slot]]
+            shifted = jnp.pad(meta_src[:, 1:], ((0, 0), (0, 1)))
+            rel = _lane_rel(cols, t, w)
+            meta_new = jnp.where(found & (rel >= m), shifted, meta_src)
+            strs[cols.meta_row[out_slot]] = jnp.where(
+                ok, meta_new, strs[cols.meta_row[out_slot]])
+            # bytes: before m*EW keep, after take bytes shifted left EW
+            # (static adjacent-row shifts)
+            rows = _pool_rows(ts, cols, src_slot)
+            pos = _iota(t, w)
+            for r in range(cols.elem_rows):
+                nxt = rows[r + 1] if r + 1 < cols.elem_rows \
+                    else rows[r] * 0
+                sh = jnp.concatenate(
+                    [rows[r][:, cols.ew:], nxt[:, :cols.ew]], axis=1)
+                gpos = pos + r * w
+                row_new = jnp.where(found & (gpos >= m * cols.ew), sh,
+                                    rows[r])
+                dst = cols.list_row0[out_slot] + r
+                strs[dst] = jnp.where(ok, row_new, strs[dst])
             return _advance(ts, cols, act, ok, parkm, next_pc,
                             writes=writes, strs=tuple(strs))
         return br
@@ -1220,14 +1292,18 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
                       (cols.sint(out_slot), 0),
                       (cols.slen(out_slot), count)]
             strs = list(ts.strs)
-            for e in range(cols.E):
-                j = jnp.clip(pys + e, 0, cols.E - 1)
-                et, ei, el, ebuf = _elem_read(ts, cols, src_slot, j, t, w)
-                writes += [(cols.etype(out_slot, e), et),
-                           (cols.eint(out_slot, e), ei),
-                           (cols.elen(out_slot, e), el)]
-                _place_elem(strs, cols, out_slot, e, ebuf,
-                            ok & (e < count), t, w)
+            # whole-pool shift left by pys elements: one meta gather +
+            # ER(ER+1)/2 byte gathers (cells/bytes ≥ count are stale junk,
+            # never read)
+            meta = _meta_shift(ts.strs[cols.meta_row[src_slot]], cols,
+                               pys, t, w)
+            strs[cols.meta_row[out_slot]] = jnp.where(
+                ok, meta, strs[cols.meta_row[out_slot]])
+            shifted = _pool_shift_left_bytes(ts, cols, src_slot,
+                                             pys * cols.ew, t, w)
+            for r in range(cols.elem_rows):
+                dst = cols.list_row0[out_slot] + r
+                strs[dst] = jnp.where(ok, shifted[r], strs[dst])
             return _advance(ts, cols, act, ok, parkm, next_pc,
                             writes=writes, strs=tuple(strs))
         return br
@@ -1288,25 +1364,41 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
                       (cols.sint(out_slot), 0),
                       (cols.slen(out_slot), total)]
             strs = list(ts.strs)
-            for e in range(cols.E):
-                off = zero_i
-                et, ei, el = zero_i, zero_i, zero_i
-                ebuf = _iota(t, w) * 0
-                for k, s in enumerate(srcs):
-                    inside = (e >= off) & (e < off + ns[k])
-                    jt, ji, jl, jb = _elem_read(
-                        ts, cols, s, jnp.clip(e - off, 0, cols.E - 1),
-                        t, w)
-                    et = jnp.where(inside, jt, et)
-                    ei = jnp.where(inside, ji, ei)
-                    el = jnp.where(inside, jl, el)
-                    ebuf = jnp.where(inside, jb, ebuf)
-                    off = off + ns[k]
-                writes += [(cols.etype(out_slot, e), et),
-                           (cols.eint(out_slot, e), ei),
-                           (cols.elen(out_slot, e), el)]
-                _place_elem(strs, cols, out_slot, e, ebuf,
-                            ok & (e < total), t, w)
+            # accumulate each source shifted right to its running offset:
+            # one meta gather + ER(ER+1)/2 byte gathers per source
+            lane = _iota(t, w)
+            rel = _lane_rel(cols, t, w)
+            pos = _iota(t, w)
+            meta_acc = ts.strs[cols.meta_row[srcs[0]]]
+            pools = [list(_pool_rows(ts, cols, srcs[0]))]
+            off = ns[0]
+            for k in range(1, len(srcs)):
+                s = srcs[k]
+                m_sh = _meta_shift(ts.strs[cols.meta_row[s]], cols,
+                                   -off, t, w)
+                sec_ok = (rel >= off) & (rel < off + ns[k]) & \
+                    (lane < 3 * cols.E)
+                meta_acc = jnp.where(sec_ok, m_sh, meta_acc)
+                boff = off * cols.ew
+                rows_k = _pool_rows(ts, cols, s)
+                acc_rows = pools[0]
+                for r in range(cols.elem_rows):
+                    gpos = pos + r * w
+                    seg = acc_rows[r] * 0
+                    for q in range(0, r + 1):
+                        idx = gpos - boff - q * w
+                        g = jnp.take_along_axis(
+                            rows_k[q], jnp.clip(idx, 0, w - 1), axis=1)
+                        seg = jnp.where((idx >= 0) & (idx < w), g, seg)
+                    win = (gpos >= boff) & \
+                        (gpos < boff + ns[k] * cols.ew)
+                    acc_rows[r] = jnp.where(win, seg, acc_rows[r])
+                off = off + ns[k]
+            strs[cols.meta_row[out_slot]] = jnp.where(
+                ok, meta_acc, strs[cols.meta_row[out_slot]])
+            for r in range(cols.elem_rows):
+                dst = cols.list_row0[out_slot] + r
+                strs[dst] = jnp.where(ok, pools[0][r], strs[dst])
             return _advance(ts, cols, act, ok, parkm, next_pc,
                             writes=writes, strs=tuple(strs))
         return br
@@ -1744,6 +1836,7 @@ class TurboEngine:
                         f"list {key!r} exceeds {cols.E} elements")
                 regs[cols.stype(s)] = T_LIST
                 regs[cols.slen(s)] = len(value)
+                meta = sbuf[cols.meta_row[s]]
                 for e, elem in enumerate(value):
                     if isinstance(elem, bool) or \
                             not isinstance(elem, (int, str)):
@@ -1753,16 +1846,16 @@ class TurboEngine:
                         if not (-2**31 <= elem < 2**31):
                             raise TurboEncodeError(
                                 f"element of {key!r} exceeds int32")
-                        regs[cols.etype(s, e)] = T_INT
-                        regs[cols.eint(s, e)] = elem
+                        meta[e] = T_INT
+                        meta[cols.E + e] = elem
                     else:
                         data = elem.encode("utf-8")
                         if len(data) > cols.ew:
                             raise TurboEncodeError(
                                 f"element of {key!r} exceeds "
                                 f"{cols.ew}B")
-                        regs[cols.etype(s, e)] = T_STR
-                        regs[cols.elen(s, e)] = len(data)
+                        meta[e] = T_STR
+                        meta[2 * cols.E + e] = len(data)
                         row, off = cols.elem_pos(s, e)
                         sbuf[row, off:off + len(data)] = list(data)
             else:
@@ -1861,12 +1954,13 @@ class TurboEngine:
                 ).decode("utf-8", "replace")
             elif vt == T_LIST:
                 count = int(regs[cols.slen(s)])
+                meta = sub["sbuf"][cols.meta_row[s], j]
                 elems = []
                 for e in range(min(count, cols.E)):
-                    if int(regs[cols.etype(s, e)]) == T_INT:
-                        elems.append(int(regs[cols.eint(s, e)]))
+                    if int(meta[e]) == T_INT:
+                        elems.append(int(meta[cols.E + e]))
                     else:
-                        el = int(regs[cols.elen(s, e)])
+                        el = int(meta[2 * cols.E + e])
                         row, off = cols.elem_pos(s, e)
                         elems.append(bytes(
                             sub["sbuf"][row, j, off:off + el].astype(
