@@ -78,7 +78,8 @@ RING_PROGRAM = """
 """
 
 
-def adventure_program(n_rooms: int = 6, t_max: int = 1 << 30) -> str:
+def adventure_program(n_rooms: int = 6, t_max: int = 1 << 30,
+                      trim: int = 10) -> str:
     """A text_adventure-shaped pure-compute spine: per room — history list
     append + length + trim-slice (the summarization window of
     text_adventure.json5:290-324), a parallel_race of a "generation" lane
@@ -97,7 +98,7 @@ def adventure_program(n_rooms: int = 6, t_max: int = 1 << 30) -> str:
          output_name:'hist'},
         {cmd:'math', input:'length(hist)', output_name:'hlen'},
         {cmd:'goto_map', text:'{hlen}', target_maps:[
-            {'10': '@trim-%(r)d'}, {'*': '@play-%(r)d'}]},
+            {'%(trim)d': '@trim-%(r)d'}, {'*': '@play-%(r)d'}]},
         {cmd:'label', name:'@trim-%(r)d'},
         {cmd:'list_slice', list:'{hist}', from_index:5,
          to_index:'{hlen}', output_name:'hist'},
@@ -119,7 +120,8 @@ def adventure_program(n_rooms: int = 6, t_max: int = 1 << 30) -> str:
             {'c%(r)d-3': '@room-%(nr2)d'},
             {'c*': '@room-%(nr)d'},
             {'*': '@fin'}]},
-        """ % {"r": r, "nr": nr, "nr2": nr2, "tmax": t_max})
+        """ % {"r": r, "nr": nr, "nr2": nr2, "tmax": t_max,
+               "trim": trim})
     return """
     {
         default_state: {order_index: 1, inserts:
@@ -187,7 +189,9 @@ def measure():
     elif workload == "ring":
         src = RING_PROGRAM
     else:
-        src = adventure_program(int(os.environ.get("BENCH_ROOMS", 6)))
+        cap = int(os.environ.get("BENCH_LIST_CAP", 12))
+        src = adventure_program(int(os.environ.get("BENCH_ROOMS", 6)),
+                                trim=min(10, cap - 2))
     program = json5.loads(add_line_numbers(src))
     validate_program(program)
     compiled = compile_program(program)
@@ -246,7 +250,8 @@ def _measure_turbo(compiled, n_instances, rounds, on_accel,
     # tiles also compile ~4× faster per halving (Mosaic unrolls per-vreg)
     default_tile = 512 if compiled.n_instr <= 16 else 64
     tcfg = TurboConfig(tile=int(os.environ.get("BENCH_TILE", default_tile)),
-                       width=128, out_width=192, k_steps=inner_steps)
+                       width=128, out_width=192, k_steps=inner_steps,
+                       list_cap=int(os.environ.get("BENCH_LIST_CAP", 12)))
     eng = TurboEngine(compiled, tcfg)
     if divergence > 0:
         inserts = dict(compiled.program["default_state"]["inserts"])

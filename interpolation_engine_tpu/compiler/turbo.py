@@ -277,6 +277,7 @@ class TurboPlan:
     n_parks: int = 0
     park_kind_of: dict = field(default_factory=dict)  # pc -> ring kind
     slot_kinds: list = field(default_factory=list)    # per-slot value kind
+    elem_kinds: dict = field(default_factory=dict)    # list slot -> kind
     needs_threads: int = 0                            # lanes (0 = none)
 
     @property
@@ -453,7 +454,75 @@ def _infer_slot_kinds(plan: "TurboPlan") -> list:
         bad = [plan.slot_names[s] for s, k in enumerate(kinds)
                if k == K_POLY]
         raise NotTurbo(f"slots hold both list and scalar values: {bad}")
+    plan.elem_kinds = _infer_elem_kinds(plan, kinds)
     return kinds
+
+
+def _infer_elem_kinds(plan: "TurboPlan", kinds: list) -> dict:
+    """Per-list-slot ELEMENT kind (int/str/mix): branch builders skip the
+    int→decimal machinery for str-only lists (and vice versa) — the list
+    repr/join loops dominate the fattest kernel branches otherwise."""
+    ek = {s: K_NONE for s, k in enumerate(kinds) if k == K_LIST}
+    edges = []   # (src list slot, dst list slot)
+
+    def join(s, k):
+        if s in ek:
+            ek[s] = _kind_join(ek[s], k)
+
+    def item_kind(src, slot_kinds):
+        if src[0] == "int":
+            return K_INT
+        if src[0] == "copy":
+            k = slot_kinds[src[1]]
+            return k if k in (K_INT, K_STR) else K_MIX
+        return K_STR
+
+    inserts = plan.compiled.program.get("default_state", {}).get(
+        "inserts", {})
+    for key, value in inserts.items():
+        s = plan.slot_of.get(str(key))
+        if s in ek and isinstance(value, list):
+            for e in value:
+                join(s, K_INT if isinstance(e, int) else K_STR)
+
+    for pc, ins in enumerate(plan.instrs):
+        if isinstance(ins, IListNew):
+            for src in ins.elems:
+                join(ins.out_slot, item_kind(src, kinds))
+        elif isinstance(ins, (IListAppend, IListRemove)):
+            join(ins.out_slot, item_kind(ins.item, kinds))
+            edges.append((ins.src_slot, ins.out_slot))
+        elif isinstance(ins, IListSlice):
+            edges.append((ins.src_slot, ins.out_slot))
+        elif isinstance(ins, IListConcat):
+            for s in ins.src_slots:
+                edges.append((s, ins.out_slot))
+        elif isinstance(ins, ISet) and ins.src[0] == "copy":
+            if ins.src[1] in ek and ins.out_slot in ek:
+                edges.append((ins.src[1], ins.out_slot))
+        elif isinstance(ins, IPark):
+            task = plan.compiled.source_tasks[pc]
+            if task is None:
+                continue
+            for t in _walk_tasks(task):
+                name = _literal_name(t.get("output_name")) \
+                    if isinstance(t.get("output_name"), str) else None
+                s = plan.slot_of.get(name) if name else None
+                if s in ek:
+                    join(s, K_MIX)  # host-serviced write: any elements
+
+    for _ in range(len(ek) + 1):
+        changed = False
+        for src, dst in edges:
+            if src in ek and dst in ek:
+                merged = _kind_join(ek[dst], ek[src])
+                if merged != ek[dst]:
+                    ek[dst] = merged
+                    changed = True
+        if not changed:
+            break
+    # NONE (never produced natively) stays conservative
+    return {s: (K_MIX if k == K_NONE else k) for s, k in ek.items()}
 
 
 # ---------------------------------------------------------------------------

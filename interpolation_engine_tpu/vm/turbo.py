@@ -131,7 +131,8 @@ class _Cols:
 
     def __init__(self, S: int, kinds=None, n_loops: int = 0,
                  nt: int = 0, list_cap: int = 12, width: int = 128,
-                 elem_width: int = 32):
+                 elem_width: int = 32, elem_kinds=None):
+        self.ekinds = dict(elem_kinds or {})
         self.S = S
         self.n_loops = n_loops
         self.nt = nt
@@ -186,6 +187,11 @@ class _Cols:
 
     def kind(self, s: int) -> str:
         return self.kinds[s]
+
+    def ekind(self, s: int) -> str:
+        """Element kind of list slot s ('int'/'str'/'mix') — dead-path
+        elision for the repr/join loops."""
+        return self.ekinds.get(s, "mix")
 
     # thread lanes
     def tpc(self, lane: int) -> int:
@@ -493,12 +499,20 @@ def _repr_list(ts: _TS, cols: _Cols, s: int, t: int, w: int):
     buf = jnp.where(pos == 0, 91, 0)            # '['
     ln = zero_i + 1
     one = zero_i + 1
+    ek = cols.ekind(s)   # dead-path elision: str-only lists skip the
+    #                      int→decimal loop (the fattest branch otherwise)
     for e in range(cols.E):
         live = e < n
         if e > 0:
             sep = jnp.where(pos == 0, 44, jnp.where(pos == 1, 32, 0))
             buf, ln = _append(buf, ln, sep, jnp.where(live, 2, 0), t, w)
         et, ei, el = _meta_cell_static(ts, cols, s, e)
+        if ek == "int":
+            park = park | (live & (et != T_INT))
+            ibuf, iln = _int_to_dec(ei, t, w)
+            buf, ln = _append(buf, ln, ibuf,
+                              jnp.where(live, iln, 0), t, w)
+            continue
         ebuf = _elem_bytes_static(ts, cols, s, e, t, w)
         bad = jnp.any(((ebuf < 32) | (ebuf > 126) | (ebuf == 39) |
                        (ebuf == 92)) & (pos < el),
@@ -506,6 +520,15 @@ def _repr_list(ts: _TS, cols: _Cols, s: int, t: int, w: int):
         is_str = et == T_STR
         park = park | (live & is_str & bad)
         quote = jnp.where(pos == 0, 39, 0)      # '\''
+        if ek == "str":
+            park = park | (live & ~is_str)
+            buf, ln = _append(buf, ln, quote,
+                              jnp.where(live, one, 0), t, w)
+            buf, ln = _append(buf, ln, ebuf,
+                              jnp.where(live, el, 0), t, w)
+            buf, ln = _append(buf, ln, quote,
+                              jnp.where(live, one, 0), t, w)
+            continue
         q_len = jnp.where(live & is_str, one, 0)
         ibuf, iln = _int_to_dec(ei, t, w)
         body = jnp.where(is_str, ebuf, ibuf)
@@ -1559,7 +1582,7 @@ def _make_cols(plan: TurboPlan, tcfg: TurboConfig) -> _Cols:
     return _Cols(max(plan.n_slots, 1), plan.slot_kinds,
                  plan.compiled.n_loops, nt=plan.needs_threads,
                  list_cap=tcfg.list_cap, width=tcfg.width,
-                 elem_width=tcfg.elem_width)
+                 elem_width=tcfg.elem_width, elem_kinds=plan.elem_kinds)
 
 
 def _lane_yield(ts: _TS, cols: _Cols, t: int) -> _TS:
@@ -1837,11 +1860,19 @@ class TurboEngine:
                 regs[cols.stype(s)] = T_LIST
                 regs[cols.slen(s)] = len(value)
                 meta = sbuf[cols.meta_row[s]]
+                ek = cols.ekind(s)
                 for e, elem in enumerate(value):
                     if isinstance(elem, bool) or \
                             not isinstance(elem, (int, str)):
                         raise TurboEncodeError(
                             f"element of {key!r} is not int/str")
+                    if (isinstance(elem, int) and ek == "str") or \
+                            (isinstance(elem, str) and ek == "int"):
+                        # violates the plan's element-kind inference
+                        # (dead paths were elided) — retire to host
+                        raise TurboEncodeError(
+                            f"element kind of {key!r} violates the "
+                            f"plan ({ek}-only list)")
                     if isinstance(elem, int):
                         if not (-2**31 <= elem < 2**31):
                             raise TurboEncodeError(
