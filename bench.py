@@ -250,7 +250,9 @@ def _measure_turbo(compiled, n_instances, rounds, on_accel,
     # tiles also compile ~4× faster per halving (Mosaic unrolls per-vreg)
     default_tile = 512 if compiled.n_instr <= 16 else 64
     tcfg = TurboConfig(tile=int(os.environ.get("BENCH_TILE", default_tile)),
-                       width=128, out_width=192, k_steps=inner_steps,
+                       width=128,
+                       out_width=int(os.environ.get("BENCH_OUT", 128)),
+                       k_steps=inner_steps,
                        list_cap=int(os.environ.get("BENCH_LIST_CAP", 12)))
     eng = TurboEngine(compiled, tcfg)
     if divergence > 0:

@@ -503,10 +503,28 @@ def _repr_list(ts: _TS, cols: _Cols, s: int, t: int, w: int):
     #                      int→decimal loop (the fattest branch otherwise)
     for e in range(cols.E):
         live = e < n
+        et, ei, el = _meta_cell_static(ts, cols, s, e)
+        if ek == "str":
+            # fused: separator + quotes + bytes in ONE append per element
+            park = park | (live & (et != T_STR))
+            ebuf = _elem_bytes_static(ts, cols, s, e, t, w)
+            bad = jnp.any(((ebuf < 32) | (ebuf > 126) | (ebuf == 39) |
+                           (ebuf == 92)) & (pos < el),
+                          axis=1, keepdims=True)
+            park = park | (live & bad)
+            prefix = b"'" if e == 0 else b", '"
+            plen = len(prefix)
+            shifted = jnp.pad(ebuf, ((0, 0), (plen, 0)))[:, :w]
+            qbuf = shifted
+            for i, c in enumerate(prefix):
+                qbuf = jnp.where(pos == i, c, qbuf)
+            qbuf = jnp.where(pos == plen + el, 39, qbuf)   # closing '
+            buf, ln = _append(buf, ln, qbuf,
+                              jnp.where(live, plen + el + 1, 0), t, w)
+            continue
         if e > 0:
             sep = jnp.where(pos == 0, 44, jnp.where(pos == 1, 32, 0))
             buf, ln = _append(buf, ln, sep, jnp.where(live, 2, 0), t, w)
-        et, ei, el = _meta_cell_static(ts, cols, s, e)
         if ek == "int":
             park = park | (live & (et != T_INT))
             ibuf, iln = _int_to_dec(ei, t, w)
@@ -520,15 +538,6 @@ def _repr_list(ts: _TS, cols: _Cols, s: int, t: int, w: int):
         is_str = et == T_STR
         park = park | (live & is_str & bad)
         quote = jnp.where(pos == 0, 39, 0)      # '\''
-        if ek == "str":
-            park = park | (live & ~is_str)
-            buf, ln = _append(buf, ln, quote,
-                              jnp.where(live, one, 0), t, w)
-            buf, ln = _append(buf, ln, ebuf,
-                              jnp.where(live, el, 0), t, w)
-            buf, ln = _append(buf, ln, quote,
-                              jnp.where(live, one, 0), t, w)
-            continue
         q_len = jnp.where(live & is_str, one, 0)
         ibuf, iln = _int_to_dec(ei, t, w)
         body = jnp.where(is_str, ebuf, ibuf)
@@ -1012,6 +1021,60 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
 
     if isinstance(instr, IGotoMap):
         tmpl, entries, null_pc = instr.tmpl, instr.entries, instr.null_pc
+
+        def _int_exact(pat):
+            """int value v such that str(v) == pattern bytes, else None."""
+            if pat[0] != "exact":
+                return None
+            b = pat[1]
+            s_ = b.decode("ascii", "ignore")
+            try:
+                v = int(s_)
+            except ValueError:
+                return None
+            return v if str(v).encode() == b else None
+
+        int_dispatch = (
+            len(tmpl) == 1 and isinstance(tmpl[0], Hole)
+            and cols.kind(tmpl[0].slot) == "int"
+            and all(p[0] in ("exact", "any") for p, _t in entries))
+        if int_dispatch:
+            # single int-kind hole + literal keys: scalar compares — no
+            # decimal render, no byte match (the per-turn hot path)
+            slot = tmpl[0].slot
+            comp = [(_int_exact(p), p[0], tpc) for p, tpc in entries]
+
+            def br(ts):
+                act = active_of(ts)
+                st = _rd(ts, cols.stype(slot))
+                val = _rd(ts, cols.sint(slot))
+                missing = st == T_EMPTY   # int-kind slot: EMPTY or INT
+                zero_i = _rd(ts, C_PC) * 0
+                decided = zero_i == 1
+                tgt = zero_i
+                for v, kind_, tpc_ in comp:
+                    if kind_ == "any":
+                        hit = ~decided
+                    elif v is None:
+                        continue  # non-canonical-int key never matches
+                    else:
+                        hit = (val == v) & ~decided
+                    tgt = jnp.where(hit, tpc_, tgt)
+                    decided = decided | hit
+                if null_pc is not None:
+                    tgt = jnp.where(missing, null_pc, tgt)
+                    ok_route = missing | decided
+                else:
+                    ok_route = decided & ~missing
+                parkm = ~ok_route
+                ok = act & ~parkm
+                parkm = act & ~ok
+                regs = _wr(ts.regs, C_PC, tgt, ok)
+                regs = _wr(regs, C_STATUS, PARKED, parkm)
+                regs = _wr(regs, C_STEPS, _rd(ts, C_STEPS) + 1,
+                           ok | parkm)
+                return ts._replace(regs=regs)
+            return br
 
         def br(ts):
             act = active_of(ts)
