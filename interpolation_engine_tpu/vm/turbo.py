@@ -1662,6 +1662,18 @@ def _lane_yield(ts: _TS, cols: _Cols, t: int) -> _TS:
     cur_tid = _rd(ts, C_CURTID)
     parked = (_rd(ts, C_STATUS) == PARKED) & \
         (_rd(ts, C_PARMODE) > 0) & (cur_tid >= 0)
+    # the fixup runs every inner step but only matters right after an
+    # in-block park — skip its ~15 ops on the common (no-park) step
+    return jax.lax.cond(jnp.any(parked),
+                        lambda ts_: _lane_yield_apply(ts_, cols, t,
+                                                      parked),
+                        lambda ts_: ts_, ts)
+
+
+def _lane_yield_apply(ts: _TS, cols: _Cols, t: int, parked) -> _TS:
+    NT = cols.nt
+    zero_i = _rd(ts, C_PC) * 0
+    cur_tid = _rd(ts, C_CURTID)
     cur = jnp.clip(cur_tid, 0, NT - 1)
     pc = _rd(ts, C_PC)
     regs = ts.regs
@@ -1725,11 +1737,27 @@ def build_step_fn(plan: TurboPlan, tcfg: TurboConfig, n: int,
             it, ts = carry
             return (it < K) & jnp.any(_rd(ts, C_STATUS) == RUNNING)
 
+        def dispatch(lo, hi, ts, pc_star):
+            """Balanced cond tree over branches[lo:hi]. lax.switch lowers
+            to a LINEAR cond chain in Mosaic (observed 92-deep recursion),
+            and every level keeps the loop carry live — the scoped-VMEM
+            budget was burning ~16 carry copies regardless of branch
+            size. A log2(P)-deep tree holds ~7."""
+            if hi - lo == 1:
+                return branches[lo](ts)
+            mid = (lo + hi) // 2
+            return jax.lax.cond(
+                pc_star < mid,
+                lambda ts_: dispatch(lo, mid, ts_, pc_star),
+                lambda ts_: dispatch(mid, hi, ts_, pc_star),
+                ts)
+
         def body(carry):
             it, ts = carry
             running = _rd(ts, C_STATUS) == RUNNING
             pc_star = jnp.min(jnp.where(running, _rd(ts, C_PC), P))
-            ts = jax.lax.switch(jnp.clip(pc_star, 0, P - 1), branches, ts)
+            pc_star = jnp.clip(pc_star, 0, P - 1)
+            ts = dispatch(0, P, ts, pc_star)
             ts = _lane_yield(ts, cols, t)
             return it + 1, ts
 
