@@ -1737,15 +1737,27 @@ def build_step_fn(plan: TurboPlan, tcfg: TurboConfig, n: int,
             it, ts = carry
             return (it < K) & jnp.any(_rd(ts, C_STATUS) == RUNNING)
 
+        LEAF = 4
+
         def dispatch(lo, hi, ts, pc_star):
-            """Balanced cond tree over branches[lo:hi]. lax.switch lowers
-            to a LINEAR cond chain in Mosaic (observed 92-deep recursion),
-            and every level keeps the loop carry live — the scoped-VMEM
-            budget was burning ~16 carry copies regardless of branch
-            size. A log2(P)-deep tree holds ~7."""
-            if hi - lo == 1:
-                return branches[lo](ts)
-            mid = (lo + hi) // 2
+            """Balanced cond tree over branches[lo:hi] with LEAF-sized
+            straight-line leaves.
+
+            lax.switch lowers to a LINEAR cond chain in Mosaic (observed
+            92-deep recursion), and every level keeps the loop carry
+            live — the scoped-VMEM budget was burning ~16 carry copies
+            regardless of branch size. A log-depth tree holds ~5-7.
+
+            A leaf executes ALL of its branches in order — safe by
+            construction (every branch self-selects on pc == p), and a
+            lockstep lane entering at the leaf's first pc retires up to
+            LEAF sequential instructions per dispatch (superblock
+            effect), amortizing the carry copies."""
+            if hi - lo <= LEAF:
+                for p in range(lo, hi):
+                    ts = branches[p](ts)
+                return ts
+            mid = lo + (((hi - lo) // 2 + LEAF - 1) // LEAF) * LEAF
             return jax.lax.cond(
                 pc_star < mid,
                 lambda ts_: dispatch(lo, mid, ts_, pc_star),
