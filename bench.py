@@ -129,7 +129,9 @@ def adventure_program(n_rooms: int = 6, t_max: int = 1 << 30,
         order: [
             %s
             {cmd:'label', name:'@fin'},
-            {cmd:'print', text:'fin turn={turn} acc={acc} hist={hist}'},
+            {cmd:'print', text:'fin turn={turn} '},
+            {cmd:'print', text:'acc={acc} '},
+            {cmd:'print', text:'hist={hist}'},
         ],
         named_tasks: {}, save_states: {},
     }
