@@ -105,6 +105,12 @@ class TurboConfig:
     k_steps: int = 32   # VM steps per kernel launch
     list_cap: int = 12  # elements per list slot
     elem_width: int = 32  # bytes per list element (packed width//this per row)
+    # Mosaic's scoped-VMEM budget for kernel temporaries. The default limit
+    # is 16 MiB; a v5e core has 128 MiB of VMEM, and the mega-kernel's
+    # resident blocks (regs/sbuf/out tiles, double-buffered) are small next
+    # to the fattest dispatch branch's temporaries, so raise the scoped
+    # budget and let big tiles compile instead of failing at 17.2M/16M.
+    vmem_limit_bytes: int = 100 * 1024 * 1024
 
 
 class _Cols:
@@ -1792,6 +1798,19 @@ def build_step_fn(plan: TurboPlan, tcfg: TurboConfig, n: int,
         jax.ShapeDtypeStruct((n, ow), jnp.int32),
     )
 
+    compiler_params = None
+    if not interpret:
+        try:
+            from jax.experimental.pallas import tpu as pltpu
+            # instance tiles are independent → "parallel" grid; raise the
+            # scoped-VMEM budget past Mosaic's 16 MiB default (see
+            # TurboConfig.vmem_limit_bytes)
+            compiler_params = pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=int(tcfg.vmem_limit_bytes))
+        except Exception:  # pragma: no cover - non-TPU lowering targets
+            compiler_params = None
+
     call = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1800,6 +1819,7 @@ def build_step_fn(plan: TurboPlan, tcfg: TurboConfig, n: int,
         out_shape=shapes,
         input_output_aliases={1: 0, 2: 1, 3: 2},
         interpret=interpret,
+        compiler_params=compiler_params,
     )
 
     lits = jnp.asarray(lits_np)
