@@ -245,12 +245,11 @@ def _measure_turbo(compiled, n_instances, rounds, on_accel,
     from interpolation_engine_tpu.vm.turbo import TurboConfig, TurboEngine
 
     inner_steps = int(os.environ.get("BENCH_INNER_STEPS", 64))
-    # tile sizing: the scalar spine fits (and is fastest) at 512; the
-    # adventure kernel's fattest branches (list slice/remove: E dynamic
-    # element reads each) blow scoped VMEM at 512 (151M/128M) and still
-    # exceed the 16M scoped limit by 0.8M at 128 — 64 fits, and smaller
-    # tiles also compile ~4× faster per halving (Mosaic unrolls per-vreg)
-    default_tile = 512 if compiled.n_instr <= 16 else 64
+    # tile sizing: 512 across the board now that the raised scoped-VMEM
+    # budget (TurboConfig.vmem_limit_bytes) lets the adventure kernel's
+    # fat list branches compile — measured 25.6M tasks/s at 512 vs 19.2M
+    # at 256 vs 5.5M at 128 (131072 instances, real v5e)
+    default_tile = 512
     tcfg = TurboConfig(tile=int(os.environ.get("BENCH_TILE", default_tile)),
                        width=128,
                        out_width=int(os.environ.get("BENCH_OUT", 128)),
