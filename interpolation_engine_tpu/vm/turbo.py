@@ -94,7 +94,11 @@ BRACE_OPEN, BRACE_CLOSE, BACKSLASH = 123, 125, 92
 # fixed control columns; everything after is computed by _Cols
 C_PC, C_STATUS, C_STEPS, C_OUTLEN = 0, 1, 2, 3
 C_CURTID, C_PARMODE, C_PARJOIN, C_PAREPOCH = 4, 5, 6, 7
-C_BASE = 8
+# count of in-kernel `clear`s: the host-side output spill (_out_prefix)
+# is tagged with the epoch it was drained at, so a later device-side
+# clear correctly erases it (decode ignores a stale-epoch prefix)
+C_CLREPOCH = 8
+C_BASE = 9
 
 
 @dataclass(frozen=True)
@@ -118,7 +122,8 @@ class _Cols:
 
       0-3   pc, status, steps, out_len
       4-7   cur_tid, par_mode, par_join, par_epoch
-      8..   tpc[NT], tstate[NT], tparg[NT]      (parallel thread lanes)
+      8     clear-epoch (output-spill invalidation)
+      9..   tpc[NT], tstate[NT], tparg[NT]      (parallel thread lanes)
       then  stype[S], sint[S], slen[S]          (slen of a list = count)
       then  loop counters [n_loops]
       then  per list slot: etype[E], eint[E], elen[E]
@@ -911,7 +916,9 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
             act = active_of(ts)
             nope = act & (act != act)
             return _advance(ts, cols, act, act, nope, next_pc,
-                            writes=(), out=ts.out * 0,
+                            writes=[(C_CLREPOCH,
+                                     _rd(ts, C_CLREPOCH) + 1)],
+                            out=ts.out * 0,
                             out_len=_rd(ts, C_PC) * 0)
         return br
 
@@ -1906,6 +1913,13 @@ class TurboEngine:
         self._escape_tasks: dict = {}
         self._escape_results: dict = {}
         self._escape_cfg = None
+        # output spill: instance → (drained_output, clear_epoch). When a
+        # row's accumulated output outgrows the device buffer it is
+        # drained here at ring-service time and the device keeps an empty
+        # tail, so print-heavy programs stay native instead of retiring
+        # to the host (VERDICT r2 next #7). A stale epoch (an in-kernel
+        # `clear` ran since the drain) voids the prefix.
+        self._out_prefix: dict = {}
         # ring telemetry (same fields as DeviceRunner.ring_stats)
         self.ring_stats = {"rounds": 0, "parks": 0, "escapes": 0,
                            "parks_by_kind": {}, "ring_ms": 0.0}
@@ -1936,6 +1950,7 @@ class TurboEngine:
         if n_pad > n:
             regs[n:, C_STATUS] = DONE
         self._n_live = n
+        self._out_prefix.clear()
         return TurboBatch(regs=jnp.asarray(regs), sbuf=jnp.asarray(sbuf),
                           out=jnp.asarray(out))
 
@@ -2040,7 +2055,7 @@ class TurboEngine:
         sub = {"regs": np.asarray(batch.regs[i:i + 1]),
                "sbuf": np.asarray(batch.sbuf[:, i:i + 1]),
                "out": np.asarray(batch.out[i:i + 1])}
-        state = self._decode_row(sub, 0)
+        state = self._decode_row(sub, 0, i)
         regs = sub["regs"][0]
         if int(regs[C_PARMODE]) > 0:
             raise ValueError(
@@ -2052,7 +2067,7 @@ class TurboEngine:
         emit_cursors(self.compiled, state, pc, counters)
         return state
 
-    def load_state(self, state: dict) -> dict:
+    def load_state(self, state: dict, i: int = None) -> dict:
         """Encode a reference-format state dict as one turbo row (cursor
         chains resolve to a pc; for-counters land in loop columns)."""
         from .driver import pc_of_state
@@ -2066,8 +2081,16 @@ class TurboEngine:
             raise ValueError(
                 "state was saved inside a parallel block; resume it on "
                 "the general device engine (per-lane re-seed)")
+        output = state.get("output", "")
+        if (i is not None and len(output.encode("utf-8"))
+                > self.tcfg.out_width // 2):
+            # resumed state arrives with more output than the device
+            # buffer holds — spill it host-side (fresh rows start at
+            # clear-epoch 0)
+            self._out_prefix[i] = (output, 0)
+            output = ""
         row = self._encode_row(dict(state.get("inserts", {})),
-                               state.get("output", ""), pc, 0)
+                               output, pc, 0)
         lc0 = self.cols._loops0
         row["regs"][lc0:lc0 + self.cols.n_loops] = \
             counters[:self.cols.n_loops]
@@ -2075,7 +2098,8 @@ class TurboEngine:
 
     def load_batch(self, states: list) -> TurboBatch:
         """A batch resuming the given reference-format states."""
-        rows = [self.load_state(s) for s in states]
+        self._out_prefix.clear()
+        rows = [self.load_state(s, i=j) for j, s in enumerate(states)]
         n = len(rows)
         n_pad = self._padded(n)
         regs = np.zeros((n_pad, self.cols.regw), np.int32)
@@ -2092,7 +2116,7 @@ class TurboEngine:
         return TurboBatch(regs=jnp.asarray(regs), sbuf=jnp.asarray(sbuf),
                           out=jnp.asarray(out))
 
-    def _decode_row(self, sub: dict, j: int) -> dict:
+    def _decode_row(self, sub: dict, j: int, i: int = None) -> dict:
         cols = self.cols
         regs = sub["regs"][j]
         inserts = {}
@@ -2123,6 +2147,13 @@ class TurboEngine:
         ln = int(regs[C_OUTLEN])
         output = bytes(sub["out"][j, :ln].astype(np.uint8)).decode(
             "utf-8", "replace")
+        if i is not None and i in self._out_prefix:
+            text, epoch = self._out_prefix[i]
+            if epoch == int(regs[C_CLREPOCH]):
+                output = text + output
+            else:
+                # an in-kernel clear ran after the drain — prefix is dead
+                del self._out_prefix[i]
         return {"inserts": inserts, "output": output}
 
     # ---- stepping -----------------------------------------------------------
@@ -2168,7 +2199,10 @@ class TurboEngine:
         from .state import encode_instance
         cols = self.cols
         regs = sub["regs"][j]
-        state = self._decode_row(sub, j)
+        state = self._decode_row(sub, j, i)
+        # the instance leaves turbo for good — its spill rides along in
+        # the decoded state
+        self._out_prefix.pop(i, None)
         if self._escape_cfg is None:
             self._escape_cfg = self._escape_vmconfig()
         cfg = self._escape_cfg
@@ -2236,7 +2270,7 @@ class TurboEngine:
 
         pc = int(sub["regs"][j, C_PC])
         task = self.compiled.source_tasks[pc]
-        state = self._decode_row(sub, j)
+        state = self._decode_row(sub, j, i)
         kind = self.plan.park_kind_of.get(pc, 0)
 
         if kind == self._park_await and task is not None:
@@ -2251,7 +2285,7 @@ class TurboEngine:
             if resolved is None or resolved not in state["inserts"]:
                 return False  # still parked
             self._write_row(sub, j, state, pc + 1,
-                            int(sub["regs"][j, C_STEPS]) + 1)
+                            int(sub["regs"][j, C_STEPS]) + 1, i)
             return True
 
         rt = rts.setdefault(i, Runtime(
@@ -2285,10 +2319,11 @@ class TurboEngine:
             raise RuntimeError(f"unexpected task result: {result}")
         try:
             self._write_row(sub, j, state, next_pc,
-                            int(sub["regs"][j, C_STEPS]) + 1)
+                            int(sub["regs"][j, C_STEPS]) + 1, i)
         except TurboEncodeError:
             # state outgrew the slot model: finish this instance with the
             # exact host executor and retire the lane
+            self._out_prefix.pop(i, None)
             final = await self._finish_on_host(rt, state, next_pc)
             self._host_results[i] = final
             sub["regs"][j, C_STATUS] = DONE
@@ -2348,7 +2383,17 @@ class TurboEngine:
         return state
 
     def _write_row(self, sub: dict, j: int, state: dict, pc: int,
-                   steps: int):
+                   steps: int, i: int = None):
+        if i is not None:
+            # re-establish the spill invariant: the stored prefix was
+            # already folded into state["output"] by _decode_row, so it
+            # must not survive this write (it would double-count)
+            self._out_prefix.pop(i, None)
+            if (len(state["output"].encode("utf-8"))
+                    > self.tcfg.out_width // 2):
+                epoch = int(sub["regs"][j, C_CLREPOCH])
+                self._out_prefix[i] = (state["output"], epoch)
+                state = dict(state, output="")
         row = self._encode_row(state["inserts"], state["output"], pc, steps)
         # loop counters and parallel-lane bookkeeping live outside the
         # reference state dict — a leaf park must not reset them
@@ -2458,7 +2503,7 @@ class TurboEngine:
             if i in self._host_results:
                 state = self._host_results[i]
             else:
-                state = self._decode_row(host, i)
+                state = self._decode_row(host, i, i)
             out.append(InstanceResult(
                 output=state["output"], inserts=state["inserts"],
                 status=int(host["regs"][i, C_STATUS]),

@@ -998,3 +998,137 @@ def test_reference_examples_turbo_eligible():
         if name == "text_adventure":
             assert plan.needs_threads >= 2   # the race block is in-kernel
             assert plan.list_slots           # history is a native list slot
+
+
+# ---- output spill (print-heavy programs stay native) -----------------------
+
+SPILL_TCFG = TurboConfig(tile=8, width=64, out_width=48, k_steps=16)
+
+SPILL_SRC = """
+{
+    default_state: {order_index: 1, inserts: {i: 0}},
+    order: [
+        {cmd:'label', name:'@loop'},
+        {cmd:'math', input:'{i} + 1', output_name:'i'},
+        {cmd:'print', text:'line {i} of text;'},
+        {cmd:'goto_map', text:'{i}', target_maps:[
+            {'20': '@end'}, {'*': '@loop'}]},
+        {cmd:'label', name:'@end'},
+        {cmd:'print', text:'done'},
+    ],
+    named_tasks: {}, save_states: {},
+}
+"""
+
+
+def _run_spill(src, tcfg=SPILL_TCFG, n=3, responses=()):
+    compiled = compile_src(src)
+    engine = TurboEngine(
+        compiled, tcfg,
+        io_factory=lambda i: IOManager(ScriptedBackend(list(responses))))
+    batch = engine.run(engine.make_batch(n), max_rounds=500)
+    return engine, engine.results(batch)
+
+
+def test_output_spill_print_heavy(tmp_path, capsys):
+    """Total printed output (~330B) far exceeds out_width=48: the ring
+    drains the device buffer into the host-side spill instead of retiring
+    the instance to host execution (VERDICT r2 next #7)."""
+    host = run_host(SPILL_SRC, tmp_path)
+    capsys.readouterr()
+    engine, results = _run_spill(SPILL_SRC)
+    assert len(host["output"]) > 300
+    assert not engine._host_results        # nobody retired to the host
+    assert not engine._escape_results
+    for r in results:
+        assert r.status == DONE
+        assert r.output == host["output"]
+
+
+SPILL_CLEAR_SRC = """
+{
+    default_state: {order_index: 1, inserts: {i: 0}},
+    order: [
+        {cmd:'label', name:'@loop'},
+        {cmd:'math', input:'{i} + 1', output_name:'i'},
+        {cmd:'print', text:'line {i} of text;'},
+        {cmd:'goto_map', text:'{i}', target_maps:[
+            {'12': '@wipe'}, {'*': '@loop'}]},
+        {cmd:'label', name:'@wipe'},
+        {cmd:'clear'},
+        {cmd:'label', name:'@post'},
+        {cmd:'math', input:'{i} + 1', output_name:'i'},
+        {cmd:'print', text:'after {i};'},
+        {cmd:'goto_map', text:'{i}', target_maps:[
+            {'15': '@end'}, {'*': '@post'}]},
+        {cmd:'label', name:'@end'},
+    ],
+    named_tasks: {}, save_states: {},
+}
+"""
+
+
+def test_output_spill_invalidated_by_clear(tmp_path, capsys):
+    """An in-kernel `clear` AFTER a spill drains must erase the host-side
+    prefix too (clear-epoch tagging): final output is post-clear only."""
+    host = run_host(SPILL_CLEAR_SRC, tmp_path)
+    capsys.readouterr()
+    assert host["output"] == "after 13;after 14;after 15;"
+    engine, results = _run_spill(SPILL_CLEAR_SRC)
+    assert not engine._host_results
+    for r in results:
+        assert r.status == DONE
+        assert r.output == host["output"]
+
+
+SPILL_SAVE_SRC = """
+{
+    default_state: {order_index: 1, inserts: {i: 0}},
+    order: [
+        {cmd:'label', name:'@loop'},
+        {cmd:'math', input:'{i} + 1', output_name:'i'},
+        {cmd:'print', text:'line {i} of text;'},
+        {cmd:'goto_map', text:'{i}', target_maps:[
+            {'8': '@ask'}, {'*': '@loop'}]},
+        {cmd:'label', name:'@ask'},
+        {cmd:'user_input', prompt:'? ', output_name:'ans'},
+        {cmd:'print', text:'got {ans};'},
+        {cmd:'print', text:'end'},
+    ],
+    named_tasks: {}, save_states: {},
+}
+"""
+
+
+def test_output_spill_export_and_resume(tmp_path, capsys):
+    """export_state folds the spill into the reference-format state, and
+    loading a state whose output ≫ out_width re-spills instead of raising
+    TurboEncodeError — the resumed run finishes byte-exact."""
+    host = run_host(SPILL_SAVE_SRC, tmp_path, responses=["YES"])
+    capsys.readouterr()
+    compiled = compile_src(SPILL_SAVE_SRC)
+
+    # export after a spilled run: the full output must be in the save
+    engine = TurboEngine(
+        compiled, SPILL_TCFG,
+        io_factory=lambda i: IOManager(ScriptedBackend(["YES"])))
+    batch = engine.run(engine.make_batch(1), max_rounds=200)
+    exported = engine.export_state(batch, 0)
+    capsys.readouterr()
+    assert exported["output"] == host["output"]
+
+    # resume from a mid-run save parked at the user_input (order_index 6)
+    # whose accumulated output exceeds the whole device out buffer
+    state = {"inserts": {"i": 8},
+             "output": "".join(f"line {k} of text;" for k in range(1, 9)),
+             "order_index": 6}
+    assert len(state["output"]) > SPILL_TCFG.out_width
+    engine2 = TurboEngine(
+        compiled, SPILL_TCFG,
+        io_factory=lambda i: IOManager(ScriptedBackend(["YES"])))
+    tb = engine2.run(engine2.load_batch([state]), max_rounds=200)
+    r = engine2.results(tb, 1)[0]
+    capsys.readouterr()
+    assert r.status == DONE
+    assert r.output == host["output"]
+    assert not engine2._host_results
