@@ -11,7 +11,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N = int(os.environ.get("N", 4096))
-CHUNK = 24
+CHUNK = int(os.environ.get("CHUNK", 24))
 
 
 def make_stream(i):

@@ -38,6 +38,19 @@ DEFAULT = VMConfig()
 #   IE_TPU_TURBO=1|0           — force/skip the turbo kernel in the CLI
 #   IE_TPU_PALLAS=1|interpret  — Pallas brace scan in the interp kernel
 #   IE_TPU_DEVICE_FILTERS=1    — batch chat-filter fast path
+#
+# Both opt-in kernels were measured on the real v5e (2026-08-17, VERDICT
+# r2 next #6) and LOSE at their call granularities, so they default OFF:
+#   * IE_TPU_PALLAS=1 general-engine adventure bench: 64.3k vs 67.5k
+#     tasks/s baseline (-5%) — the brace scan isn't the bottleneck; the
+#     general VM is dominated by per-op dispatch, and the separate
+#     pallas_call adds a launch per interpolation step.
+#   * IE_TPU_DEVICE_FILTERS=1: ~0.4s per stream on axon (per-call remote
+#     dispatch of a byte-granular scan) vs ~0.1ms for the incremental
+#     Python filters (benchmarks/filter_probe.py; semantics verified
+#     exact at the chunk->0 limit). Worth revisiting only if filtering
+#     ever becomes a >1k-streams-per-launch batch operation.
+# The flagship TPU path is the turbo mega-kernel, which subsumes both.
 
 # Instance status codes
 RUNNING = 0

@@ -1912,7 +1912,7 @@ class TurboEngine:
         # general engine (exact thread-lane ring); i → asyncio.Task
         self._escape_tasks: dict = {}
         self._escape_results: dict = {}
-        self._escape_cfg = None
+        self._escape_cfgs: dict = {}   # out_size → shared escape VMConfig
         # output spill: instance → (drained_output, clear_epoch). When a
         # row's accumulated output outgrows the device buffer it is
         # drained here at ring-service time and the device keeps an empty
@@ -2168,12 +2168,19 @@ class TurboEngine:
 
     # ---- parallel-block escapes ---------------------------------------------
 
-    def _escape_vmconfig(self):
+    def _escape_vmconfig(self, out_need: int = 0):
         """A general-engine VMConfig guaranteed to hold any state the turbo
-        slot model can hold (escaped instances re-encode turbo rows)."""
+        slot model can hold (escaped instances re-encode turbo rows).
+        out_need: bytes of already-accumulated output the escaping instance
+        carries (the spill means this can exceed any static default);
+        rounded to a power of two so escape configs — and therefore the
+        general engine's per-shape jits — stay few."""
         from .config import VMConfig
         cols, plan = self.cols, self.plan
         n_lists = max(len(cols.list_ord), 1)
+        out_size = max(4096, 4 * self.tcfg.out_width)
+        while out_size < 2 * out_need:
+            out_size *= 2
         return VMConfig(
             max_str=max(2 * self.tcfg.width, 512),
             max_key=64,
@@ -2182,7 +2189,7 @@ class TurboEngine:
                            4 * (plan.n_slots + cols.E * n_lists)
                            * self.tcfg.width),
             pool_size=max(96, 4 * cols.E * n_lists),
-            out_size=max(4096, 4 * self.tcfg.out_width),
+            out_size=out_size,
             max_loops=max(self.compiled.n_loops, 8),
             max_threads=max(self.plan.needs_threads, 8),
         )
@@ -2203,9 +2210,9 @@ class TurboEngine:
         # the instance leaves turbo for good — its spill rides along in
         # the decoded state
         self._out_prefix.pop(i, None)
-        if self._escape_cfg is None:
-            self._escape_cfg = self._escape_vmconfig()
-        cfg = self._escape_cfg
+        out_need = len(state["output"].encode("utf-8"))
+        cfg = self._escape_vmconfig(out_need)
+        cfg = self._escape_cfgs.setdefault(cfg.out_size, cfg)
         runner = DeviceRunner(self.compiled, cfg,
                               io_factory=lambda _j, _i=i:
                               self.io_factory(_i),

@@ -1132,3 +1132,50 @@ def test_output_spill_export_and_resume(tmp_path, capsys):
     assert r.status == DONE
     assert r.output == host["output"]
     assert not engine2._host_results
+
+
+SPILL_ESCAPE_SRC = """
+{
+    default_state: {order_index: 1, inserts: {i: 0}},
+    order: [
+        {cmd:'label', name:'@loop'},
+        {cmd:'math', input:'{i} + 1', output_name:'i'},
+        {cmd:'print', text:'line {i} of text;'},
+        {cmd:'goto_map', text:'{i}', target_maps:[
+            {'9': '@par'}, {'*': '@loop'}]},
+        {cmd:'label', name:'@par'},
+        {cmd:'parallel_wait', tasks:[
+            {cmd:'serial', tasks:[
+                {cmd:'user_input', prompt:'? ', output_name:'a'},
+                {cmd:'print', text:'A={a};'},
+            ]},
+            {cmd:'serial', tasks:[
+                {cmd:'print', text:'B;'},
+            ]},
+        ]},
+        {cmd:'print', text:'end'},
+    ],
+    named_tasks: {}, save_states: {},
+}
+"""
+
+
+def test_output_spill_survives_parallel_escape(tmp_path, capsys):
+    """A park inside a parallel block AFTER the output spilled: the escape
+    to the general engine must carry the full (spilled) output even though
+    it exceeds the static escape out_size — the escape VMConfig grows to
+    fit (power-of-two bucketed)."""
+    tiny = TurboConfig(tile=8, width=64, out_width=24, k_steps=16)
+    host = run_host(SPILL_ESCAPE_SRC, tmp_path, responses=["go"])
+    capsys.readouterr()
+    compiled = compile_src(SPILL_ESCAPE_SRC)
+    engine = TurboEngine(
+        compiled, tiny,
+        io_factory=lambda i: IOManager(ScriptedBackend(["go"])))
+    batch = engine.run(engine.make_batch(2), max_rounds=500)
+    results = engine.results(batch)
+    capsys.readouterr()
+    assert engine._escape_results            # the race block escaped
+    for r in results:
+        assert r.status == DONE
+        assert r.output == host["output"]
