@@ -254,7 +254,10 @@ def _measure_turbo(compiled, n_instances, rounds, on_accel,
                        width=128,
                        out_width=int(os.environ.get("BENCH_OUT", 128)),
                        k_steps=inner_steps,
-                       list_cap=int(os.environ.get("BENCH_LIST_CAP", 12)))
+                       list_cap=int(os.environ.get("BENCH_LIST_CAP", 12)),
+                       # leaf sweep (adventure, 131072 instances, real
+                       # v5e): 4→25.6M, 8→45.1M, 16→72.1M, 32→109.3M
+                       leaf=int(os.environ.get("BENCH_LEAF", 32)))
     eng = TurboEngine(compiled, tcfg)
     if divergence > 0:
         inserts = dict(compiled.program["default_state"]["inserts"])

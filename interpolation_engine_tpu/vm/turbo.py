@@ -109,6 +109,16 @@ class TurboConfig:
     k_steps: int = 32   # VM steps per kernel launch
     list_cap: int = 12  # elements per list slot
     elem_width: int = 32  # bytes per list element (packed width//this per row)
+    # dispatch-tree leaf width: a leaf executes this many CONSECUTIVE
+    # branches per carry step (superblock retirement). Larger leaves shrink
+    # the cond tree and retire more straight-line instructions per carry
+    # step, at the cost of fatter per-leaf scoped-VMEM temporaries.
+    # Forward jumps keep retiring inside a leaf (every branch self-selects
+    # on pc == p), so a lane can traverse more than LEAF of pc-space per
+    # carry step. Measured on the adventure workload (131072 instances,
+    # real v5e): leaf=4 → 25.6M, 8 → 45.1M, 16 → 72.1M, 32 → 109.3M
+    # tasks/s.
+    leaf: int = 32
     # Mosaic's scoped-VMEM budget for kernel temporaries. The default limit
     # is 16 MiB; a v5e core has 128 MiB of VMEM, and the mega-kernel's
     # resident blocks (regs/sbuf/out tiles, double-buffered) are small next
@@ -1750,7 +1760,7 @@ def build_step_fn(plan: TurboPlan, tcfg: TurboConfig, n: int,
             it, ts = carry
             return (it < K) & jnp.any(_rd(ts, C_STATUS) == RUNNING)
 
-        LEAF = 4
+        LEAF = tcfg.leaf
 
         def dispatch(lo, hi, ts, pc_star):
             """Balanced cond tree over branches[lo:hi] with LEAF-sized
