@@ -256,8 +256,10 @@ def _measure_turbo(compiled, n_instances, rounds, on_accel,
                        k_steps=inner_steps,
                        list_cap=int(os.environ.get("BENCH_LIST_CAP", 12)),
                        # leaf sweep (adventure, 131072 instances, real
-                       # v5e): 4→25.6M, 8→45.1M, 16→72.1M, 32→109.3M
-                       leaf=int(os.environ.get("BENCH_LEAF", 32)))
+                       # v5e): 4→25.6M, 8→45.1M, 16→72.1M, 32→109.3M,
+                       # 64→120.2M, 128→133.8M tasks/s. 128 >= n_instr:
+                       # no cond tree — pure straight-line dispatch.
+                       leaf=int(os.environ.get("BENCH_LEAF", 128)))
     eng = TurboEngine(compiled, tcfg)
     if divergence > 0:
         inserts = dict(compiled.program["default_state"]["inserts"])

@@ -49,6 +49,7 @@ tails keep exact semantics.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from types import SimpleNamespace
 from typing import NamedTuple
 
 import numpy as np
@@ -116,8 +117,11 @@ class TurboConfig:
     # Forward jumps keep retiring inside a leaf (every branch self-selects
     # on pc == p), so a lane can traverse more than LEAF of pc-space per
     # carry step. Measured on the adventure workload (131072 instances,
-    # real v5e): leaf=4 → 25.6M, 8 → 45.1M, 16 → 72.1M, 32 → 109.3M
-    # tasks/s.
+    # real v5e): leaf=4 → 25.6M, 8 → 45.1M, 16 → 72.1M, 32 → 109.3M,
+    # 64 → 120.2M, 128 (≥ n_instr: no tree, pure straight-line) → 133.8M
+    # tasks/s. The default stays moderate because compile time grows with
+    # the fattest leaf (leaf=128 ≈ 42 min cold on axon vs ≈ 6 min at 32);
+    # bench.py pins leaf=128 where the compile is cached.
     leaf: int = 32
     # Mosaic's scoped-VMEM budget for kernel temporaries. The default limit
     # is 16 MiB; a v5e core has 128 MiB of VMEM, and the mega-kernel's
@@ -2061,20 +2065,32 @@ class TurboEngine:
         with nested cursors reconstructed from (pc, loop-counter columns) —
         same contract as DeviceRunner.export_state, so turbo checkpoints
         load on any engine (and in the reference)."""
-        from .driver import emit_cursors
+        from .driver import emit_cursors, emit_par_cursors
         sub = {"regs": np.asarray(batch.regs[i:i + 1]),
                "sbuf": np.asarray(batch.sbuf[:, i:i + 1]),
                "out": np.asarray(batch.out[i:i + 1])}
         state = self._decode_row(sub, 0, i)
         regs = sub["regs"][0]
-        if int(regs[C_PARMODE]) > 0:
-            raise ValueError(
-                "export inside a parallel block: lane sub-states are not "
-                "expressible as reference cursors from the turbo row")
         pc = min(int(regs[C_PC]), self.compiled.n_instr - 1)
         lc0 = self.cols._loops0
         counters = regs[lc0:lc0 + self.cols.n_loops]
-        emit_cursors(self.compiled, state, pc, counters)
+        if int(regs[C_PARMODE]) > 0:
+            # saved inside a parallel block: the turbo lane columns map
+            # 1:1 onto the general engine's thread fields (see _escape),
+            # so per-lane cursor chains emit exactly like the host's
+            # (interpolation_engine.py:1637-1652)
+            cols = self.cols
+            st = SimpleNamespace(
+                pc=int(regs[C_PC]), status=int(regs[C_STATUS]),
+                cur_tid=int(regs[C_CURTID]),
+                par_join=int(regs[C_PARJOIN]),
+                tpc=np.asarray([regs[cols.tpc(l)]
+                                for l in range(cols.nt)]),
+                tstate=np.asarray([regs[cols.tstate(l)]
+                                   for l in range(cols.nt)]))
+            emit_par_cursors(self.compiled, state, st, counters)
+        else:
+            emit_cursors(self.compiled, state, pc, counters)
         return state
 
     def load_state(self, state: dict, i: int = None) -> dict:
@@ -2087,10 +2103,10 @@ class TurboEngine:
             raise ValueError(
                 f"state has block cursors below a host-op task "
                 f"{sorted(leftovers)}; resume requires the host engine")
-        if par is not None:
+        if par is not None and par["k"] > self.cols.nt:
             raise ValueError(
-                "state was saved inside a parallel block; resume it on "
-                "the general device engine (per-lane re-seed)")
+                f"state resumes a parallel block with {par['k']} lanes; "
+                f"this plan carries {self.cols.nt}")
         output = state.get("output", "")
         if (i is not None and len(output.encode("utf-8"))
                 > self.tcfg.out_width // 2):
@@ -2104,6 +2120,24 @@ class TurboEngine:
         lc0 = self.cols._loops0
         row["regs"][lc0:lc0 + self.cols.n_loops] = \
             counters[:self.cols.n_loops]
+        if par is not None:
+            # re-seed the lane set exactly like IParBegin, but with the
+            # saved per-lane resume pcs (host: the block re-runs; lanes
+            # with cursors resume, cursor-less lanes restart —
+            # interpolation_engine.py:1581-1626)
+            regs, cols = row["regs"], self.cols
+            regs[C_PARMODE] = par["mode"]
+            regs[C_PARJOIN] = par["join_pc"]
+            regs[C_CURTID] = 0
+            regs[C_PC] = par["tpc"][0]
+            for l in range(cols.nt):
+                if l < par["k"]:
+                    regs[cols.tpc(l)] = par["tpc"][l]
+                    regs[cols.tstate(l)] = T_NEW
+                else:
+                    regs[cols.tpc(l)] = 0
+                    regs[cols.tstate(l)] = T_FREE
+                regs[cols.tparg(l)] = 0
         return row
 
     def load_batch(self, states: list) -> TurboBatch:

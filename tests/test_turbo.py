@@ -884,6 +884,29 @@ def test_adventure_spine_native_and_exact(tmp_path, capsys):
         assert r.inserts == dict(host["inserts"])
 
 
+@pytest.mark.parametrize("leaf", [1, 999])
+def test_dispatch_leaf_extremes_exact(tmp_path, capsys, leaf):
+    """Dispatch-tree semantics are leaf-independent: leaf=1 (pure binary
+    cond tree, single-branch leaves) and leaf >= n_instr (no tree at all;
+    every branch executes straight-line each carry step, with forward
+    jumps retiring within the pass) must both reproduce the host
+    byte-for-byte on the adventure spine."""
+    from bench import adventure_program
+    src = adventure_program(6, t_max=5)
+    host = run_host(src, tmp_path)
+    capsys.readouterr()
+    compiled = compile_src(src)
+    tcfg = TurboConfig(tile=8, width=64, out_width=192, k_steps=24,
+                       leaf=leaf)
+    engine = TurboEngine(compiled, tcfg,
+                         io_factory=lambda i: IOManager(ScriptedBackend([])))
+    final = engine.run(engine.make_batch(2), max_rounds=500)
+    for r in engine.results(final):
+        assert r.status == DONE
+        assert r.output == host["output"]
+        assert r.inserts == dict(host["inserts"])
+
+
 SAVE_SRC = """
 {
     default_state: {order_index: 1, inserts: {}},
@@ -979,6 +1002,84 @@ def test_turbo_mid_for_resume(tmp_path, capsys):
     capsys.readouterr()
     assert r.status == DONE
     assert r.output == "one=A;two=B;three=C;fin"
+
+
+PAR_SAVE_SRC = """
+{
+    default_state: {order_index: 1, inserts: {}},
+    order: [
+        {cmd:'print', text:'pre;'},
+        {cmd:'parallel_wait', tasks:[
+            {cmd:'serial', tasks:[
+                {cmd:'set', item:'a1', output_name:'a'},
+                {cmd:'print', text:'A{a};'},
+                {cmd:'set', item:'a2', output_name:'a'},
+                {cmd:'print', text:'B{a};'},
+            ]},
+            {cmd:'serial', tasks:[
+                {cmd:'set', item:'bb', output_name:'b'},
+                {cmd:'print', text:'C{b};'},
+            ]},
+        ]},
+        {cmd:'print', text:'end {a}{b}'},
+    ],
+    named_tasks: {}, save_states: {},
+}
+"""
+
+
+def test_turbo_mid_parallel_export_and_resume(tmp_path, capsys):
+    """A turbo export taken INSIDE a parallel block (kernel budget expired
+    mid-lane) carries per-lane cursor chains — the same reference format
+    the general engine emits (interpolation_engine.py:1637-1652) — and
+    resumes to the uninterrupted host output on BOTH engines."""
+    import numpy as np
+    from interpolation_engine_tpu.vm.driver import DeviceRunner, _stack
+    from interpolation_engine_tpu.vm.turbo import C_PARMODE
+    from test_device_vm import CFG as GCFG
+
+    host = run_host(PAR_SAVE_SRC, tmp_path)
+    capsys.readouterr()
+    compiled = compile_src(PAR_SAVE_SRC)
+    # leaf=1 + k_steps=1: exactly one branch per step call, so stepping
+    # lands deterministically inside the block
+    tcfg = TurboConfig(tile=8, width=64, out_width=192, k_steps=1, leaf=1)
+    engine = TurboEngine(compiled, tcfg,
+                         io_factory=lambda i: IOManager(ScriptedBackend([])))
+    batch = engine.make_batch(1)
+    step = engine.step_fn(batch.regs.shape[0])
+    for _ in range(64):
+        batch = step(batch)
+        if int(np.asarray(batch.regs)[0, C_PARMODE]) > 0:
+            break
+    for _ in range(3):   # advance a few branches into lane 0
+        batch = step(batch)
+    assert int(np.asarray(batch.regs)[0, C_PARMODE]) > 0
+    state = engine.export_state(batch, 0)
+    capsys.readouterr()
+    lane_keys = [k for k in state if k.startswith("order_index/")]
+    assert lane_keys, state   # per-lane cursor chain, not a block restart
+
+    # resume on the GENERAL engine
+    runner = DeviceRunner(compiled, GCFG,
+                          io_factory=lambda i: IOManager(ScriptedBackend([])))
+    final = runner.run(_stack([runner.load_state(state)]), inner_steps=16,
+                       max_rounds=200)
+    r = runner.results(final)[0]
+    capsys.readouterr()
+    assert r.status == DONE
+    assert r.output == host["output"]
+    assert r.inserts == dict(host["inserts"])
+
+    # resume on a fresh TURBO engine
+    engine2 = TurboEngine(compiled, TCFG,
+                          io_factory=lambda i: IOManager(ScriptedBackend([])))
+    tb = engine2.run(engine2.load_batch([state]), max_rounds=200)
+    r2 = engine2.results(tb, 1)[0]
+    capsys.readouterr()
+    assert r2.status == DONE
+    assert r2.output == host["output"]
+    assert r2.inserts == dict(host["inserts"])
 
 
 def test_reference_examples_turbo_eligible():
