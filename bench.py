@@ -146,7 +146,9 @@ def main():
         return measure()
 
     import subprocess
-    budget = float(os.environ.get("BENCH_COMPILE_BUDGET_S", 1500))
+    # the leaf=128 adventure mega-kernel costs ~2550s to compile COLD on
+    # axon (cached runs are fast); the budget must cover a cache miss
+    budget = float(os.environ.get("BENCH_COMPILE_BUDGET_S", 3300))
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child"],
@@ -250,16 +252,21 @@ def _measure_turbo(compiled, n_instances, rounds, on_accel,
     # fat list branches compile — measured 25.6M tasks/s at 512 vs 19.2M
     # at 256 vs 5.5M at 128 (131072 instances, real v5e)
     default_tile = 512
+    # per-workload leaf defaults, each the measured best (131072
+    # instances, real v5e): the adventure kernel wins big from
+    # straight-line dispatch (leaf 4/8/16/32/64/128 → 25.6/45.1/72.1/
+    # 109.3/120.2/133.8M tasks/s; 128 ≥ n_instr = no cond tree), while
+    # the 6-instruction spine LOSES from it (74.3M at 128 vs 100.7M at
+    # 4 — straight-line pays the fat print branch every carry step that
+    # the cond tree elides)
+    default_leaf = 4 if os.environ.get("BENCH_WORKLOAD",
+                                       "adventure") == "spine" else 128
     tcfg = TurboConfig(tile=int(os.environ.get("BENCH_TILE", default_tile)),
                        width=128,
                        out_width=int(os.environ.get("BENCH_OUT", 128)),
                        k_steps=inner_steps,
                        list_cap=int(os.environ.get("BENCH_LIST_CAP", 12)),
-                       # leaf sweep (adventure, 131072 instances, real
-                       # v5e): 4→25.6M, 8→45.1M, 16→72.1M, 32→109.3M,
-                       # 64→120.2M, 128→133.8M tasks/s. 128 >= n_instr:
-                       # no cond tree — pure straight-line dispatch.
-                       leaf=int(os.environ.get("BENCH_LEAF", 128)))
+                       leaf=int(os.environ.get("BENCH_LEAF", default_leaf)))
     eng = TurboEngine(compiled, tcfg)
     if divergence > 0:
         inserts = dict(compiled.program["default_state"]["inserts"])
@@ -272,9 +279,17 @@ def _measure_turbo(compiled, n_instances, rounds, on_accel,
         states = [{"inserts": dict(inserts), "output": "",
                    "order_index": targets[i % divergence]}
                   for i in range(n_instances)]
+        t_enc = time.perf_counter()
         batch = eng.load_batch(states)
+        jax.block_until_ready(batch.regs)
+        print(f"# load_batch(encode+transfer)="
+              f"{time.perf_counter() - t_enc:.1f}s", file=sys.stderr)
     else:
+        t_enc = time.perf_counter()
         batch = eng.make_batch(n_instances)
+        jax.block_until_ready(batch.regs)
+        print(f"# make_batch(encode+transfer)="
+              f"{time.perf_counter() - t_enc:.1f}s", file=sys.stderr)
     step = eng.step_fn(batch.regs.shape[0])
 
     t0 = time.perf_counter()
@@ -309,6 +324,8 @@ def _measure_ring(compiled, n_instances, rounds):
             return "ok"
 
     inner_steps = int(os.environ.get("BENCH_INNER_STEPS", 64))
+    # TurboConfig's default leaf (32) measured 9.52M tasks/s on this
+    # workload vs 4.95M at the old leaf=4 (131072 instances, real v5e)
     tcfg = TurboConfig(tile=int(os.environ.get("BENCH_TILE", 512)),
                        width=128, out_width=192, k_steps=inner_steps)
     eng = TurboEngine(compiled, tcfg,
