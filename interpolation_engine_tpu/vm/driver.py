@@ -540,9 +540,16 @@ class DeviceRunner:
             t_ring = time.perf_counter()
             idx = jnp.asarray(parked)
             sub = jax.tree.map(lambda a: np.asarray(a[idx]), batch)
-            serviced = await asyncio.gather(*[
+            service = asyncio.gather(*[
                 self._service_instance(_index(sub, j), int(i), rts)
                 for j, i in enumerate(parked)])
+            # overlap: the device steps the still-RUNNING lanes while the
+            # host services this round's parks — parked lanes are frozen
+            # in-kernel, so the scatter below lands on unchanged rows
+            if (status == RUNNING).any():
+                batch = self._jitted(batch, inner_steps)
+                self.total_device_steps += inner_steps
+            serviced = await service
             resumed = 0
             kinds = np.asarray(sub.park_kind)
             errs = np.asarray(sub.last_err)

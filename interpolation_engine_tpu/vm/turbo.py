@@ -1968,15 +1968,104 @@ class TurboEngine:
         return TurboBatch(regs=jnp.asarray(regs), sbuf=jnp.asarray(sbuf),
                           out=jnp.asarray(out))
 
-    def _encode_row(self, inserts: dict, output: str, pc: int,
-                    steps: int) -> dict:
-        """Encode one instance's state into per-field numpy rows.
+    def _encode_slot(self, regs: np.ndarray, sbuf: np.ndarray,
+                     key, value) -> None:
+        """Encode ONE insert value into its slot's register cells and byte
+        rows, in place (regs: (REGW,), sbuf: (R, W); the caller guarantees
+        the slot's cells/rows are zeroed).
 
         Values violating the plan's slot-kind inference (a string landing
         in an int-only slot or vice versa — only possible via host-serviced
         ops the planner misjudged) raise, so the lane retires to exact host
         execution instead of running a branch whose dead path was elided.
         """
+        w = self.tcfg.width
+        cols = self.cols
+        s = self.plan.slot_of.get(str(key))
+        if s is None:
+            raise TurboEncodeError(f"key {key!r} has no slot")
+        if isinstance(value, bool) or \
+                not isinstance(value, (int, str, list)):
+            raise TurboEncodeError(f"value of {key!r} is not "
+                                   f"int/str/list")
+        if isinstance(value, int):
+            if not (-2**31 <= value < 2**31):
+                raise TurboEncodeError(f"int {key!r} exceeds int32")
+            if cols.kind(s) in ("str", "none", "list"):
+                raise TurboEncodeError(
+                    f"int value in non-int slot {key!r}")
+            regs[cols.stype(s)] = T_INT
+            regs[cols.sint(s)] = value
+        elif isinstance(value, list):
+            if cols.kind(s) != "list":
+                raise TurboEncodeError(
+                    f"list value in scalar slot {key!r}")
+            if len(value) > cols.E:
+                raise TurboEncodeError(
+                    f"list {key!r} exceeds {cols.E} elements")
+            regs[cols.stype(s)] = T_LIST
+            regs[cols.slen(s)] = len(value)
+            meta = sbuf[cols.meta_row[s]]
+            ek = cols.ekind(s)
+            for e, elem in enumerate(value):
+                if isinstance(elem, bool) or \
+                        not isinstance(elem, (int, str)):
+                    raise TurboEncodeError(
+                        f"element of {key!r} is not int/str")
+                if (isinstance(elem, int) and ek == "str") or \
+                        (isinstance(elem, str) and ek == "int"):
+                    # violates the plan's element-kind inference
+                    # (dead paths were elided) — retire to host
+                    raise TurboEncodeError(
+                        f"element kind of {key!r} violates the "
+                        f"plan ({ek}-only list)")
+                if isinstance(elem, int):
+                    if not (-2**31 <= elem < 2**31):
+                        raise TurboEncodeError(
+                            f"element of {key!r} exceeds int32")
+                    meta[e] = T_INT
+                    meta[cols.E + e] = elem
+                else:
+                    data = elem.encode("utf-8")
+                    if len(data) > cols.ew:
+                        raise TurboEncodeError(
+                            f"element of {key!r} exceeds "
+                            f"{cols.ew}B")
+                    meta[e] = T_STR
+                    meta[2 * cols.E + e] = len(data)
+                    row, off = cols.elem_pos(s, e)
+                    sbuf[row, off:off + len(data)] = \
+                        np.frombuffer(data, np.uint8)
+        else:
+            data = value.encode("utf-8")
+            if len(data) > w:
+                raise TurboEncodeError(f"string {key!r} exceeds {w}B")
+            if s not in cols.str_row:
+                raise TurboEncodeError(
+                    f"string value in int-only slot {key!r}")
+            regs[cols.stype(s)] = T_STR
+            regs[cols.slen(s)] = len(data)
+            sbuf[cols.str_row[s], :len(data)] = \
+                np.frombuffer(data, np.uint8)
+
+    def _zero_slot(self, regs: np.ndarray, sbuf: np.ndarray,
+                   s: int) -> None:
+        """Zero slot s's register cells and byte rows (the encode
+        invariant: bytes past a value's length are zero)."""
+        cols = self.cols
+        regs[cols.stype(s)] = 0
+        regs[cols.sint(s)] = 0
+        regs[cols.slen(s)] = 0
+        if s in cols.str_row:
+            sbuf[cols.str_row[s], :] = 0
+        if s in cols.meta_row:
+            sbuf[cols.meta_row[s], :] = 0
+            r0 = cols.list_row0[s]
+            sbuf[r0:r0 + cols.elem_rows, :] = 0
+
+    def _encode_row(self, inserts: dict, output: str, pc: int,
+                    steps: int) -> dict:
+        """Encode one instance's state into per-field numpy rows."""
         w, ow = self.tcfg.width, self.tcfg.out_width
         cols = self.cols
         regs = np.zeros((cols.regw,), np.int32)
@@ -1985,76 +2074,12 @@ class TurboEngine:
         regs[C_STEPS] = steps
         sbuf = np.zeros((cols.n_rows, w), np.int32)
         out = np.zeros((ow,), np.int32)
-        slot_of = self.plan.slot_of
         for key, value in inserts.items():
-            s = slot_of.get(str(key))
-            if s is None:
-                raise TurboEncodeError(f"key {key!r} has no slot")
-            if isinstance(value, bool) or \
-                    not isinstance(value, (int, str, list)):
-                raise TurboEncodeError(f"value of {key!r} is not "
-                                       f"int/str/list")
-            if isinstance(value, int):
-                if not (-2**31 <= value < 2**31):
-                    raise TurboEncodeError(f"int {key!r} exceeds int32")
-                if cols.kind(s) in ("str", "none", "list"):
-                    raise TurboEncodeError(
-                        f"int value in non-int slot {key!r}")
-                regs[cols.stype(s)] = T_INT
-                regs[cols.sint(s)] = value
-            elif isinstance(value, list):
-                if cols.kind(s) != "list":
-                    raise TurboEncodeError(
-                        f"list value in scalar slot {key!r}")
-                if len(value) > cols.E:
-                    raise TurboEncodeError(
-                        f"list {key!r} exceeds {cols.E} elements")
-                regs[cols.stype(s)] = T_LIST
-                regs[cols.slen(s)] = len(value)
-                meta = sbuf[cols.meta_row[s]]
-                ek = cols.ekind(s)
-                for e, elem in enumerate(value):
-                    if isinstance(elem, bool) or \
-                            not isinstance(elem, (int, str)):
-                        raise TurboEncodeError(
-                            f"element of {key!r} is not int/str")
-                    if (isinstance(elem, int) and ek == "str") or \
-                            (isinstance(elem, str) and ek == "int"):
-                        # violates the plan's element-kind inference
-                        # (dead paths were elided) — retire to host
-                        raise TurboEncodeError(
-                            f"element kind of {key!r} violates the "
-                            f"plan ({ek}-only list)")
-                    if isinstance(elem, int):
-                        if not (-2**31 <= elem < 2**31):
-                            raise TurboEncodeError(
-                                f"element of {key!r} exceeds int32")
-                        meta[e] = T_INT
-                        meta[cols.E + e] = elem
-                    else:
-                        data = elem.encode("utf-8")
-                        if len(data) > cols.ew:
-                            raise TurboEncodeError(
-                                f"element of {key!r} exceeds "
-                                f"{cols.ew}B")
-                        meta[e] = T_STR
-                        meta[2 * cols.E + e] = len(data)
-                        row, off = cols.elem_pos(s, e)
-                        sbuf[row, off:off + len(data)] = list(data)
-            else:
-                data = value.encode("utf-8")
-                if len(data) > w:
-                    raise TurboEncodeError(f"string {key!r} exceeds {w}B")
-                if s not in cols.str_row:
-                    raise TurboEncodeError(
-                        f"string value in int-only slot {key!r}")
-                regs[cols.stype(s)] = T_STR
-                regs[cols.slen(s)] = len(data)
-                sbuf[cols.str_row[s], :len(data)] = list(data)
+            self._encode_slot(regs, sbuf, key, value)
         out_data = output.encode("utf-8")
         if len(out_data) > ow:
             raise TurboEncodeError("output exceeds the device buffer")
-        out[:len(out_data)] = list(out_data)
+        out[:len(out_data)] = np.frombuffer(out_data, np.uint8)
         regs[C_OUTLEN] = len(out_data)
         return {"regs": regs, "sbuf": sbuf, "out": out}
 
@@ -2160,9 +2185,32 @@ class TurboEngine:
         return TurboBatch(regs=jnp.asarray(regs), sbuf=jnp.asarray(sbuf),
                           out=jnp.asarray(out))
 
+    @staticmethod
+    def _u8_views(sub: dict):
+        """Batch-wide uint8 views of the byte planes, computed ONCE per sub
+        dict (ring round / results pass): one vectorized cast replaces a
+        per-slot-per-row astype allocation in the decode loop, the ring's
+        hottest host code. Byte planes hold ASCII values 0-255 in int32, so
+        the cast is lossless (element META stays int32 — element ints are
+        full-range). Writers keep the views in sync via _sync_u8."""
+        u8 = sub.get("sbuf_u8")
+        if u8 is None:
+            u8 = sub["sbuf_u8"] = sub["sbuf"].astype(np.uint8)
+            sub["out_u8"] = sub["out"].astype(np.uint8)
+        return u8, sub["out_u8"]
+
+    @staticmethod
+    def _sync_u8(sub: dict, j: int) -> None:
+        """Refresh row j of the uint8 decode views after a write-back."""
+        u8 = sub.get("sbuf_u8")
+        if u8 is not None:
+            u8[:, j] = sub["sbuf"][:, j]
+            sub["out_u8"][j] = sub["out"][j]
+
     def _decode_row(self, sub: dict, j: int, i: int = None) -> dict:
         cols = self.cols
         regs = sub["regs"][j]
+        sbuf_u8, out_u8 = self._u8_views(sub)
         inserts = {}
         for s, key in enumerate(self._slot_keys):
             vt = int(regs[cols.stype(s)])
@@ -2171,9 +2219,8 @@ class TurboEngine:
             elif vt == T_STR:
                 ln = int(regs[cols.slen(s)])
                 row = cols.str_row[s]
-                inserts[key] = bytes(
-                    sub["sbuf"][row, j, :ln].astype(np.uint8)
-                ).decode("utf-8", "replace")
+                inserts[key] = sbuf_u8[row, j, :ln].tobytes().decode(
+                    "utf-8", "replace")
             elif vt == T_LIST:
                 count = int(regs[cols.slen(s)])
                 meta = sub["sbuf"][cols.meta_row[s], j]
@@ -2184,13 +2231,12 @@ class TurboEngine:
                     else:
                         el = int(meta[2 * cols.E + e])
                         row, off = cols.elem_pos(s, e)
-                        elems.append(bytes(
-                            sub["sbuf"][row, j, off:off + el].astype(
-                                np.uint8)).decode("utf-8", "replace"))
+                        elems.append(
+                            sbuf_u8[row, j, off:off + el].tobytes()
+                            .decode("utf-8", "replace"))
                 inserts[key] = elems
         ln = int(regs[C_OUTLEN])
-        output = bytes(sub["out"][j, :ln].astype(np.uint8)).decode(
-            "utf-8", "replace")
+        output = out_u8[j, :ln].tobytes().decode("utf-8", "replace")
         if i is not None and i in self._out_prefix:
             text, epoch = self._out_prefix[i]
             if epoch == int(regs[C_CLREPOCH]):
@@ -2335,8 +2381,10 @@ class TurboEngine:
                 resolved = None
             if resolved is None or resolved not in state["inserts"]:
                 return False  # still parked
-            self._write_row(sub, j, state, pc + 1,
-                            int(sub["regs"][j, C_STEPS]) + 1, i)
+            # nothing changed but pc/steps — delta writes registers only
+            self._write_row_delta(sub, j, state["inserts"],
+                                  state["output"], state, pc + 1,
+                                  int(sub["regs"][j, C_STEPS]) + 1, i)
             return True
 
         rt = rts.setdefault(i, Runtime(
@@ -2351,6 +2399,8 @@ class TurboEngine:
             backend.output_text = state["output"]
         EVENTS.emit(VM_PARK, label=task.get("traceback_label", "?"),
                     instance=i, pc=pc, park_kind=kind, engine="turbo")
+        before = self._snapshot_inserts(state["inserts"])
+        before_output = state["output"]
         result = await execute_task(rt, state, task,
                                     task.get("traceback_label", "?"))
         if result is None:
@@ -2369,8 +2419,9 @@ class TurboEngine:
         else:
             raise RuntimeError(f"unexpected task result: {result}")
         try:
-            self._write_row(sub, j, state, next_pc,
-                            int(sub["regs"][j, C_STEPS]) + 1, i)
+            self._write_row_delta(sub, j, before, before_output, state,
+                                  next_pc,
+                                  int(sub["regs"][j, C_STEPS]) + 1, i)
         except TurboEncodeError:
             # state outgrew the slot model: finish this instance with the
             # exact host executor and retire the lane
@@ -2433,6 +2484,72 @@ class TurboEngine:
                 raise RuntimeError(f"unexpected task result: {result}")
         return state
 
+    @staticmethod
+    def _snapshot_inserts(inserts: dict) -> dict:
+        """A value snapshot for the delta write-back (lists copied —
+        host commands may rebind or mutate them)."""
+        return {k: list(v) if isinstance(v, list) else v
+                for k, v in inserts.items()}
+
+    @staticmethod
+    def _same_value(a, b) -> bool:
+        """Type-exact equality: True == 1 must NOT count as unchanged —
+        the full encode path raises on bools, and the delta path must
+        retire the same lanes it would."""
+        if type(a) is not type(b):
+            return False
+        if isinstance(a, list):
+            return len(a) == len(b) and all(
+                type(x) is type(y) and x == y for x, y in zip(a, b))
+        return a == b
+
+    def _write_row_delta(self, sub: dict, j: int, before: dict,
+                         before_output: str, state: dict, pc: int,
+                         steps: int, i: int = None):
+        """Write back only what host servicing changed. The common park
+        (user_input, chat, await) touches ONE slot and maybe the output,
+        so re-encoding all S slots' byte rows per park — the ring's
+        dominant cost at high park rates — is almost all wasted work.
+        Raises TurboEncodeError exactly like the full rewrite (the caller
+        retires the lane to host execution)."""
+        inserts = state["inserts"]
+        if any(k not in inserts for k in before):
+            # a host command deleted an insert: rare — full rewrite
+            return self._write_row(sub, j, state, pc, steps, i)
+        regs = sub["regs"][j]
+        sbuf = sub["sbuf"][:, j]
+        for k, v in inserts.items():
+            if k in before and self._same_value(before[k], v):
+                continue
+            s = self.plan.slot_of.get(str(k))
+            if s is not None:
+                self._zero_slot(regs, sbuf, s)
+            self._encode_slot(regs, sbuf, k, v)
+        if state["output"] != before_output:
+            # same spill protocol as _write_row: the decoded output had
+            # any stored prefix folded in, so it must not survive
+            if i is not None:
+                self._out_prefix.pop(i, None)
+            output = state["output"]
+            if (i is not None and len(output.encode("utf-8"))
+                    > self.tcfg.out_width // 2):
+                epoch = int(regs[C_CLREPOCH])
+                self._out_prefix[i] = (output, epoch)
+                output = ""
+            data = output.encode("utf-8")
+            if len(data) > self.tcfg.out_width:
+                raise TurboEncodeError("output exceeds the device buffer")
+            sub["out"][j, :] = 0
+            sub["out"][j, :len(data)] = np.frombuffer(data, np.uint8)
+            regs[C_OUTLEN] = len(data)
+        # unchanged-output case: the stored prefix (if any) stays
+        # registered and the device bytes stay put — decode folds them
+        # back together exactly as before
+        regs[C_PC] = pc
+        regs[C_STEPS] = steps
+        regs[C_STATUS] = RUNNING
+        self._sync_u8(sub, j)
+
     def _write_row(self, sub: dict, j: int, state: dict, pc: int,
                    steps: int, i: int = None):
         if i is not None:
@@ -2457,6 +2574,7 @@ class TurboEngine:
         sub["regs"][j] = row["regs"]
         sub["sbuf"][:, j, :] = row["sbuf"]
         sub["out"][j] = row["out"]
+        self._sync_u8(sub, j)
 
     # ---- main loop ------------------------------------------------------------
 
@@ -2489,9 +2607,19 @@ class TurboEngine:
                 "out": np.asarray(batch.out[idx]).copy(),
             }
             n_escaped = len(self._escape_tasks)
-            changed = await asyncio.gather(*[
+            park_pcs = sub["regs"][:, C_PC].copy()  # pre-service park sites
+            service = asyncio.gather(*[
                 self._service(sub, j, int(i), rts)
                 for j, i in enumerate(parked)])
+            # overlap: while the host services this round's parks, the
+            # device steps the still-RUNNING lanes. Parked lanes are
+            # frozen in-kernel (the scheduler masks them out), so the
+            # scatter below lands on unchanged rows — semantics equal
+            # to the sequential order, wall-clock = max(host, device)
+            # instead of the sum.
+            if (status == RUNNING).any():
+                batch = step(batch)
+            changed = await service
             resumed = sum(bool(c) for c in changed)
             rs = self.ring_stats
             rs["rounds"] = round_no + 1
@@ -2499,8 +2627,7 @@ class TurboEngine:
             rs["escapes"] += len(self._escape_tasks) - n_escaped
             for j, c in enumerate(changed):
                 if c:
-                    pc = int(sub["regs"][j, C_PC])
-                    k = self.plan.park_kind_of.get(pc, 0)
+                    k = self.plan.park_kind_of.get(int(park_pcs[j]), 0)
                     by = rs["parks_by_kind"]
                     by[k] = by.get(k, 0) + 1
             rs["ring_ms"] += (time.perf_counter() - t_ring) * 1e3

@@ -371,7 +371,15 @@ def gen_turbo_program(rng: random.Random):
     n_labels = 0
     for _ in range(rng.randint(2, 8)):
         kind = rng.choice(["print", "set", "math", "delete", "label_goto",
-                           "goto_map", "for", "list_op", "parallel"])
+                           "goto_map", "for", "list_op", "parallel",
+                           "user_input"])
+        if kind == "user_input":
+            # top-level blocking IO: parks the lane through the host ring
+            # (the delta write-back path) — responses are scripted
+            # identically for both engines
+            tasks.append({"cmd": "user_input", "prompt": "q? ",
+                          "output_name": rng.choice(keys + ["ui"])})
+            continue
         if kind == "list_op":
             op = rng.choice(["append", "index", "slice", "join", "remove",
                              "length", "dynfor"])
@@ -501,6 +509,10 @@ def gen_turbo_program(rng: random.Random):
 
 def test_random_turbo_programs_agree(tmp_path, capsys):
     rng = random.Random(20260817)
+    # enough canned answers for any generated program; a brace-carrying
+    # value stresses the park + delta-write-back corner
+    responses = ["ada", "7", "x y", "go", "{brace", "z}", "tail",
+                 "0", "-3", "plain"] * 2
     n_compared = 0
     for idx in range(40):
         program = gen_turbo_program(rng)
@@ -517,7 +529,7 @@ def test_random_turbo_programs_agree(tmp_path, capsys):
             continue
         path = tmp_path / f"p{idx}.json5"
         path.write_text(src)
-        io = IOManager(ScriptedBackend())
+        io = IOManager(ScriptedBackend(list(responses)))
         try:
             state = asyncio.run(async_main(str(path), [], io))
             host = ("ok", state["output"], dict(state["inserts"]))
@@ -525,7 +537,7 @@ def test_random_turbo_programs_agree(tmp_path, capsys):
             host = ("error", type(e).__name__)
         capsys.readouterr()
         try:
-            results = run_turbo(src, n=2)
+            results = run_turbo(src, n=2, responses=responses)
             dev = ("ok", results)
         except Exception as e:
             dev = ("error", type(e).__name__)
@@ -1280,3 +1292,47 @@ def test_output_spill_survives_parallel_escape(tmp_path, capsys):
     for r in results:
         assert r.status == DONE
         assert r.output == host["output"]
+
+
+DELTA_SRC = """
+{
+    default_state: {order_index: 1, inserts:
+        {n: 7, long: 'KEEP-ME-INTACT-0123456789-abcdefghij',
+         hist: ['a', 2, 'c']}},
+    order: [
+        {cmd:'print', text:'%s'},
+        {cmd:'user_input', prompt:'v? ', output_name:'n'},
+        {cmd:'set', item:'copy:{long}', output_name:'long2'},
+        {cmd:'list_append', list:'{hist}', item:'{n}', output_name:'hist'},
+        {cmd:'user_input', prompt:'w? ', output_name:'w'},
+        {cmd:'print', text:'n={n} w={w} long2={long2} hist={hist} end'},
+    ],
+    named_tasks: {}, save_states: {},
+}
+""" % ("x" * 40)
+
+
+def test_ring_delta_writeback_exact(tmp_path, capsys):
+    """The ring's delta write-back (only changed slots re-encoded):
+    a park that (1) flips slot `n` from int to str (zeroed cells, fresh
+    slen), (2) leaves a long str slot and a mixed list slot untouched
+    (their bytes must survive verbatim for the later copy/append), and
+    (3) a second park whose resumed value carries braces so the final
+    print host-executes and grows the output past out_width//2 — the
+    delta path's host-side spill branch."""
+    responses = ["seven!", "{w & braces}"]
+    host = run_host(DELTA_SRC, tmp_path, responses=responses)
+    capsys.readouterr()
+    tcfg = TurboConfig(tile=8, width=64, out_width=192, k_steps=24)
+    compiled = compile_src(DELTA_SRC)
+    engine = TurboEngine(
+        compiled, tcfg,
+        io_factory=lambda i: IOManager(ScriptedBackend(list(responses))))
+    batch = engine.run(engine.make_batch(3), max_rounds=500)
+    results = engine.results(batch)
+    capsys.readouterr()
+    assert len(host["output"]) > tcfg.out_width // 2
+    for r in results:
+        assert r.status == DONE
+        assert r.output == host["output"]
+        assert r.inserts == dict(host["inserts"])
