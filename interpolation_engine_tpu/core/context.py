@@ -38,5 +38,14 @@ class RuntimeContext:
 CTX = RuntimeContext()
 
 
+def log_enabled() -> bool:
+    """False when the sink is the default os.devnull (no --log): hot call
+    sites guard expensive preview formatting on this."""
+    return getattr(CTX.log_sink, "name", None) != os.devnull
+
+
 def log(msg: str, flush: bool = False):
-    print(msg, file=CTX.log_sink, flush=flush)
+    sink = CTX.log_sink
+    if getattr(sink, "name", None) == os.devnull:
+        return  # no --log: skip the devnull write (hot in the ring)
+    print(msg, file=sink, flush=flush)

@@ -22,7 +22,7 @@ import random
 from .. import json5
 from ..io import tts as tts_mod
 from ..chat.service import run_chat
-from .context import CTX, ESCAPE, INSERT_START, INSERT_STOP, log
+from .context import CTX, ESCAPE, INSERT_START, INSERT_STOP, log, log_enabled
 from .interp import (
     InterpolationException,
     get_interpdata,
@@ -122,8 +122,9 @@ def _py_slice_index(_list: list, index, *, right: bool = False):
 
 async def execute_task(rt: Runtime, state: dict, task: dict, runtime_label: str):
     inserts = state["inserts"]
-    log(f"🛈  Order Item {task['traceback_label']}:  {task_preview(task)}",
-        flush=True)
+    if log_enabled():  # task_preview is costly; skip it without --log
+        log(f"🛈  Order Item {task['traceback_label']}:  "
+            f"{task_preview(task)}", flush=True)
     EVENTS.task_start(task)
 
     task = recursive_interpolate(inserts, task)

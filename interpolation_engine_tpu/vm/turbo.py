@@ -1937,6 +1937,10 @@ class TurboEngine:
         # ring telemetry (same fields as DeviceRunner.ring_stats)
         self.ring_stats = {"rounds": 0, "parks": 0, "escapes": 0,
                            "parks_by_kind": {}, "ring_ms": 0.0}
+        # fused ring-transfer jits (built lazily) + the list-META row set:
+        # byte planes travel device↔host as uint8, meta rows as int32
+        self._xfer_fns = None
+        self._meta_rows = sorted(self.cols.meta_row.values())
 
     # ---- batch lifecycle ---------------------------------------------------
 
@@ -2576,6 +2580,89 @@ class TurboEngine:
         sub["out"][j] = row["out"]
         self._sync_u8(sub, j)
 
+    # ---- ring transfers -------------------------------------------------------
+
+    def _ring_xfer(self):
+        """One fused jitted gather + scatter for the ring's parked rows.
+
+        Why fused + compressed: each separate jnp gather/scatter op is its
+        own XLA compile (~1 s each on a remote-compile backend), and byte
+        planes moved device↔host as int32 — 4× the bytes over the axon
+        tunnel (~24 MB/s measured), which dominated ring_ms. Byte planes
+        travel as uint8; list META rows (full-range int32 element
+        scalars) ride separately and are re-spliced on each side."""
+        if self._xfer_fns is not None:
+            return self._xfer_fns
+        meta_rows = self._meta_rows
+        mr = jnp.asarray(meta_rows, jnp.int32) if meta_rows else None
+
+        @jax.jit
+        def gather(regs, sbuf, out, idx):
+            g = jnp.take(sbuf, idx, axis=1)
+            meta = (jnp.take(g, mr, axis=0) if mr is not None
+                    else jnp.zeros((0,) + g.shape[1:], jnp.int32))
+            return (jnp.take(regs, idx, axis=0),
+                    g.astype(jnp.uint8),
+                    meta,
+                    jnp.take(out, idx, axis=0).astype(jnp.uint8))
+
+        @jax.jit
+        def scatter(regs_b, sbuf_b, out_b, regs_s, sbuf_u8_s, meta_s,
+                    out_u8_s, idx):
+            sb = sbuf_u8_s.astype(jnp.int32)
+            if mr is not None:
+                sb = sb.at[mr].set(meta_s)
+            return (regs_b.at[idx].set(regs_s),
+                    sbuf_b.at[:, idx].set(sb),
+                    out_b.at[idx].set(out_u8_s.astype(jnp.int32)))
+
+        self._xfer_fns = (gather, scatter)
+        return self._xfer_fns
+
+    def _gather_sub(self, batch: TurboBatch, parked: np.ndarray):
+        """Fetch the parked rows to host, bucket-padded to a power of two
+        so the transfer jits compile O(log N) times per engine even when
+        the park count drifts every round. Pad slots duplicate parked[0];
+        _scatter_sub writes them back with row 0's values (duplicate
+        scatter indices with identical values are deterministic).
+        Returns (sub, idx, k_pad)."""
+        n = batch.regs.shape[0]
+        k = len(parked)
+        k_pad = min(max(8, 1 << (k - 1).bit_length()), n)
+        idx_np = np.empty((k_pad,), np.int32)
+        idx_np[:k] = parked
+        idx_np[k:] = parked[0]
+        idx = jnp.asarray(idx_np)
+        gather, _ = self._ring_xfer()
+        regs_g, sbuf_u8_g, meta_g, out_u8_g = gather(
+            batch.regs, batch.sbuf, batch.out, idx)
+        sbuf_u8 = np.array(sbuf_u8_g)
+        out_u8 = np.array(out_u8_g)
+        sbuf_np = sbuf_u8.astype(np.int32)
+        if self._meta_rows:
+            sbuf_np[self._meta_rows] = np.asarray(meta_g)
+        sub = {"regs": np.array(regs_g), "sbuf": sbuf_np,
+               "out": out_u8.astype(np.int32),
+               "sbuf_u8": sbuf_u8, "out_u8": out_u8}
+        return sub, idx, k_pad
+
+    def _scatter_sub(self, batch: TurboBatch, sub: dict, idx,
+                     k: int, k_pad: int) -> TurboBatch:
+        if k_pad > k:
+            # pads duplicate idx[0]: mirror row 0's serviced values so
+            # the duplicate writes are identical
+            sub["regs"][k:] = sub["regs"][0]
+            sub["sbuf"][:, k:] = sub["sbuf"][:, :1]
+            sub["out"][k:] = sub["out"][0]
+            sub["sbuf_u8"][:, k:] = sub["sbuf_u8"][:, :1]
+            sub["out_u8"][k:] = sub["out_u8"][0]
+        meta_s = sub["sbuf"][self._meta_rows] if self._meta_rows else \
+            np.zeros((0,) + sub["sbuf"].shape[1:], np.int32)
+        _, scatter = self._ring_xfer()
+        return TurboBatch(*scatter(
+            batch.regs, batch.sbuf, batch.out,
+            sub["regs"], sub["sbuf_u8"], meta_s, sub["out_u8"], idx))
+
     # ---- main loop ------------------------------------------------------------
 
     async def run_async(self, batch: TurboBatch, *, max_rounds: int = 10_000
@@ -2599,13 +2686,9 @@ class TurboEngine:
                         running=int((status == RUNNING).sum()),
                         parked=len(parked))
             t_ring = time.perf_counter()
-            # batched gather of every parked row (one device round-trip)
-            idx = jnp.asarray(parked)
-            sub = {
-                "regs": np.asarray(batch.regs[idx]).copy(),
-                "sbuf": np.asarray(batch.sbuf[:, idx]).copy(),
-                "out": np.asarray(batch.out[idx]).copy(),
-            }
+            # batched gather of every parked row (one fused, uint8-
+            # compressed device round-trip)
+            sub, idx, k_pad = self._gather_sub(batch, parked)
             n_escaped = len(self._escape_tasks)
             park_pcs = sub["regs"][:, C_PC].copy()  # pre-service park sites
             service = asyncio.gather(*[
@@ -2635,11 +2718,8 @@ class TurboEngine:
                 for j in range(len(parked)):
                     if changed[j] and sub["regs"][j, C_STATUS] == PARKED:
                         sub["regs"][j, C_STATUS] = RUNNING
-                batch = TurboBatch(
-                    regs=batch.regs.at[idx].set(sub["regs"]),
-                    sbuf=batch.sbuf.at[:, idx].set(sub["sbuf"]),
-                    out=batch.out.at[idx].set(sub["out"]),
-                )
+                batch = self._scatter_sub(batch, sub, idx,
+                                          len(parked), k_pad)
             status = np.asarray(batch.regs[:, C_STATUS])
             if not ((status == RUNNING) | (status == PARKED)).any():
                 break
