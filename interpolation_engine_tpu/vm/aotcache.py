@@ -1,0 +1,99 @@
+"""AOT executable cache for the device engines.
+
+The VM kernels cost minutes to tens of minutes PER PROCESS before the
+first step runs (the adventure mega-kernel: ~2,300 s), and none of it is
+reusable through jax's persistent compilation cache: the lowered module
+bytes are nondeterministic across processes (three identical builds of
+the same kernel produced three distinct cache keys; re-jitting a
+deserialized ``jax.export`` blob is nondeterministic the same way), so
+the hash-of-module key never repeats. This module therefore persists the
+COMPILED PJRT executable itself (``jax.experimental.serialize_executable``
+— the same mechanism the persistent cache uses for its values) under a
+key WE derive from the inputs that determine the kernel:
+
+* the source files that define it (any code edit invalidates),
+* caller-supplied parts (program content, config, batch shape),
+* jax version + platform + device kind.
+
+Reloading is deserialize-and-load: no tracing, no lowering, no backend
+compile. Best-effort by design — any failure falls back silently to an
+in-process build; the cache is an optimization, never a correctness
+dependency. Writes are atomic (tmp + rename), so concurrent processes at
+worst both build.
+
+Env: IE_TPU_KERNEL_CACHE=0 disables; IE_TPU_KERNEL_CACHE_DIR overrides
+the default ~/.cache/ie_tpu_kernels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+
+import jax
+
+
+def cache_key(source_files, parts) -> str:
+    """Content hash of the kernel-defining sources + build parameters +
+    the jax/platform identity."""
+    h = hashlib.sha256()
+    for p in source_files:
+        with open(p, "rb") as f:
+            h.update(f.read())
+    dev = jax.devices()[0]
+    h.update(repr((jax.__version__, dev.platform,
+                   getattr(dev, "device_kind", ""))).encode())
+    for part in parts:
+        h.update((part if isinstance(part, str) else repr(part)).encode())
+    return h.hexdigest()[:32]
+
+
+def enabled() -> bool:
+    return os.environ.get("IE_TPU_KERNEL_CACHE", "1") != "0"
+
+
+def cache_dir() -> str:
+    return os.path.expanduser(os.environ.get(
+        "IE_TPU_KERNEL_CACHE_DIR", "~/.cache/ie_tpu_kernels"))
+
+
+def load_or_export(name: str, key: str, build_fn, example_args, *,
+                   donate_argnums=(), registrations=()):
+    """Return a ready-to-run callable for the kernel named (name, key).
+
+    Reloads a previously serialized executable when one exists; otherwise
+    calls ``build_fn()`` (returning a jax.jit-wrapped function), AOT-
+    compiles it against ``example_args`` (ShapeDtypeStruct pytrees),
+    writes the serialized executable, and returns the compiled function.
+    The returned callable is shape-locked to ``example_args`` — callers
+    memoize per shape. ``donate_argnums``/``registrations`` are accepted
+    for signature stability; donation comes from build_fn's own jit.
+    """
+    del donate_argnums, registrations  # donation lives in build_fn's jit
+    if not enabled():
+        return build_fn()
+    from jax.experimental import serialize_executable as _se
+    path = os.path.join(cache_dir(), f"{name}-{key}.jaxexec")
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                payload, in_tree, out_tree = pickle.load(f)
+            return _se.deserialize_and_load(payload, in_tree, out_tree)
+        except Exception:
+            pass  # stale, unreadable, or plugin mismatch: rebuild below
+    fn = build_fn()
+    try:
+        compiled = fn.lower(*example_args).compile()
+    except Exception:
+        return fn  # lowering quirk (e.g. AOT-unsupported backend)
+    try:
+        blob = pickle.dumps(_se.serialize(compiled))
+        os.makedirs(cache_dir(), exist_ok=True)
+        tmp = f"{path}.tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+    except Exception:
+        pass  # serialization is best-effort
+    return compiled

@@ -38,6 +38,15 @@ DEFAULT = VMConfig()
 #   IE_TPU_TURBO=1|0           — force/skip the turbo kernel in the CLI
 #   IE_TPU_PALLAS=1|interpret  — Pallas brace scan in the interp kernel
 #   IE_TPU_DEVICE_FILTERS=1    — batch chat-filter fast path
+#   IE_TPU_KERNEL_CACHE=0      — disable the AOT kernel-executable cache
+#   IE_TPU_KERNEL_CACHE_DIR    — cache dir (default ~/.cache/ie_tpu_kernels);
+#     kernels cost minutes to ~40 min per process before the first step
+#     (trace + Mosaic/XLA compile), and jax's persistent compilation
+#     cache never hits because the lowered module bytes are process-
+#     nondeterministic — both engines therefore persist the COMPILED
+#     executable (jax.experimental.serialize_executable) keyed by program
+#     content + config + shapes + source hashes, and later processes
+#     deserialize-and-load in seconds (vm/aotcache.py)
 #
 # Both opt-in kernels were measured on the real v5e (2026-08-17, VERDICT
 # r2 next #6) and LOSE at their call granularities, so they default OFF:

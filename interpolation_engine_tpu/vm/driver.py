@@ -119,10 +119,55 @@ class DeviceRunner:
         # blow the VMConfig limits and thrash the ring
         self.ring_stats = {"rounds": 0, "parks": 0, "capacity_parks": 0,
                            "parks_by_kind": {}, "ring_ms": 0.0}
+        # AOT-exported step executables per (n, inner_steps) — see _aot_run
+        self._aot_fns: dict = {}
+
+    def _aot_run(self, batch, inner_steps: int):
+        """AOT export of the generic batched step (vm/aotcache.py) on
+        accelerators: the lax.switch step's tracing+lowering runs minutes
+        per process on remote-compile backends; the exported module
+        reloads in seconds. Keyed by (cfg, opcode set, batch/table shapes,
+        inner_steps) + the step/state/driver sources — programs sharing
+        padded table shapes share the executable, exactly like
+        _get_jitted_run. Off-accelerator the plain jitted runner is used
+        (CPU compiles are cheap and tests churn code)."""
+        n = int(batch.status.shape[0])
+        memo_key = (n, inner_steps)
+        fn = self._aot_fns.get(memo_key)
+        if fn is None:
+            run = self._jitted_run
+            if jax.devices()[0].platform in ("cpu",):
+                def fn(b, t, _run=run, _k=inner_steps):
+                    return _run(b, t, _k)
+            else:
+                from . import aotcache
+                from . import state as _state_mod
+                from . import step as _step_mod
+                sds = jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                    (batch, self.tables))
+                key = aotcache.cache_key(
+                    (__file__, _step_mod.__file__, _state_mod.__file__),
+                    (self.cfg,
+                     tuple(sorted(self._ops)) if self._ops else None,
+                     inner_steps,
+                     jax.tree.map(lambda s: (s.shape, str(s.dtype)),
+                                  sds)))
+                fn = aotcache.load_or_export(
+                    "general-step", key,
+                    lambda: jax.jit(
+                        lambda b, t, _run=run, _k=inner_steps:
+                        _run(b, t, _k)),
+                    sds,
+                    registrations=(
+                        (VMInstance, "ie_tpu.VMInstance"),
+                        (_step_mod.Tables, "ie_tpu.Tables")))
+            self._aot_fns[memo_key] = fn
+        return fn
 
     def _jitted(self, batch, inner_steps: int):
         if self.mode == "jit":
-            return self._jitted_run(batch, self.tables, inner_steps)
+            return self._aot_run(batch, inner_steps)(batch, self.tables)
         # eager: step each instance with concrete opcodes (only the live
         # switch branch executes; small primitives are compiled+cached)
         from .config import RUNNING as _RUN

@@ -2170,24 +2170,53 @@ class TurboEngine:
         return row
 
     def load_batch(self, states: list) -> TurboBatch:
-        """A batch resuming the given reference-format states."""
+        """A batch resuming the given reference-format states.
+
+        Rows are deduplicated by structural state identity before the
+        upload: batched rollouts routinely resume fleets where thousands
+        of instances share a handful of distinct states, and uploading
+        131k near-identical rows over a remote-device tunnel costs tens
+        of minutes (measured: the divergent bench's ~670MB sbuf at
+        ~20MB/s), while U unique rows + an int32 index expanded with
+        jnp.take on device cost seconds. Encode cost drops the same way
+        (U encodes instead of N)."""
+        import json as _json
         self._out_prefix.clear()
-        rows = [self.load_state(s, i=j) for j, s in enumerate(states)]
-        n = len(rows)
+        uniq_rows: list = []
+        seen: dict = {}
+        index = []
+        for j, s in enumerate(states):
+            key = _json.dumps(s, sort_keys=True, default=repr)
+            u = seen.get(key)
+            if u is None:
+                u = seen[key] = len(uniq_rows)
+                uniq_rows.append(self.load_state(s, i=j))
+            elif (len(s.get("output", "").encode("utf-8"))
+                    > self.tcfg.out_width // 2):
+                # load_state's per-instance spill side effect, replicated
+                # for deduped rows (fresh rows start at clear-epoch 0)
+                self._out_prefix[j] = (s.get("output", ""), 0)
+            index.append(u)
+        n = len(states)
         n_pad = self._padded(n)
-        regs = np.zeros((n_pad, self.cols.regw), np.int32)
-        sbuf = np.zeros((self.cols.n_rows, n_pad, self.tcfg.width),
-                        np.int32)
-        out = np.zeros((n_pad, self.tcfg.out_width), np.int32)
-        for j, row in enumerate(rows):
-            regs[j] = row["regs"]
-            sbuf[:, j, :] = row["sbuf"]
-            out[j] = row["out"]
-        if n_pad > n:
-            regs[n:, C_STATUS] = DONE
+        U = len(uniq_rows)
+        regs_u = np.zeros((U + 1, self.cols.regw), np.int32)
+        sbuf_u = np.zeros((self.cols.n_rows, U + 1, self.tcfg.width),
+                          np.int32)
+        out_u = np.zeros((U + 1, self.tcfg.out_width), np.int32)
+        for u, row in enumerate(uniq_rows):
+            regs_u[u] = row["regs"]
+            sbuf_u[:, u, :] = row["sbuf"]
+            out_u[u] = row["out"]
+        regs_u[U, C_STATUS] = DONE   # the pad-row prototype
+        idx_np = np.full((n_pad,), U, np.int32)
+        idx_np[:n] = index
+        idx = jnp.asarray(idx_np)
         self._n_live = n
-        return TurboBatch(regs=jnp.asarray(regs), sbuf=jnp.asarray(sbuf),
-                          out=jnp.asarray(out))
+        return TurboBatch(
+            regs=jnp.take(jnp.asarray(regs_u), idx, axis=0),
+            sbuf=jnp.take(jnp.asarray(sbuf_u), idx, axis=1),
+            out=jnp.take(jnp.asarray(out_u), idx, axis=0))
 
     @staticmethod
     def _u8_views(sub: dict):
@@ -2254,9 +2283,38 @@ class TurboEngine:
 
     def step_fn(self, n: int):
         if n not in self._step_fns:
-            self._step_fns[n] = build_step_fn(
-                self.plan, self.tcfg, n, self.interpret)
+            self._step_fns[n] = self._build_or_load_step(n)
         return self._step_fns[n]
+
+    def _build_or_load_step(self, n: int):
+        """AOT kernel cache (vm/aotcache.py). The mega-kernel's dominant
+        cost is CLIENT-side tracing + Pallas→Mosaic lowering (the
+        adventure kernel: ~36 min of single-core work per process; the
+        XLA backend compile is <1 s, and jax's persistent compilation
+        cache cannot skip lowering because it keys on the already-lowered
+        module). The lowered module is exported to disk and reloaded
+        bit-identically in <1 s by later processes (measured:
+        benchmarks/README.md)."""
+        if self.interpret:
+            return build_step_fn(self.plan, self.tcfg, n, self.interpret)
+        import json as _json
+        from ..compiler import turbo as _ct
+        from . import aotcache
+        key = aotcache.cache_key(
+            (__file__, _ct.__file__),
+            (_json.dumps(self.compiled.program, sort_keys=True,
+                         default=repr),
+             self.tcfg, n))
+        shapes = TurboBatch(
+            regs=jax.ShapeDtypeStruct((n, self.cols.regw), jnp.int32),
+            sbuf=jax.ShapeDtypeStruct(
+                (self.cols.n_rows, n, self.tcfg.width), jnp.int32),
+            out=jax.ShapeDtypeStruct((n, self.tcfg.out_width), jnp.int32))
+        return aotcache.load_or_export(
+            "turbo-step", key,
+            lambda: build_step_fn(self.plan, self.tcfg, n, self.interpret),
+            (shapes,), donate_argnums=(0,),
+            registrations=((TurboBatch, "ie_tpu.TurboBatch"),))
 
     # ---- host ring -----------------------------------------------------------
 

@@ -1336,3 +1336,45 @@ def test_ring_delta_writeback_exact(tmp_path, capsys):
         assert r.status == DONE
         assert r.output == host["output"]
         assert r.inserts == dict(host["inserts"])
+
+
+def test_load_batch_dedup_exact(tmp_path, capsys):
+    """load_batch dedups structurally-identical states before upload
+    (unique rows + device-side take): mixed duplicate/unique states —
+    including big-output duplicates, whose spill side effect is
+    per-instance — must decode back exactly, and the run must finish
+    byte-identical to the host per state."""
+    src = """
+    {
+        default_state: {order_index: 1, inserts: {i: 0, tag: 'x'}},
+        order: [
+            {cmd:'math', input:'{i} * 2', output_name:'d'},
+            {cmd:'print', text:'+{tag}{d};'},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """
+    big = "o" * 150  # > out_width // 2 for out_width=192
+    states = [
+        {"inserts": {"i": 3, "tag": "a"}, "output": "", "order_index": 1},
+        {"inserts": {"i": 3, "tag": "a"}, "output": "", "order_index": 1},
+        {"inserts": {"i": 5, "tag": "b"}, "output": big, "order_index": 1},
+        {"inserts": {"i": 5, "tag": "b"}, "output": big, "order_index": 1},
+        {"inserts": {"i": 4, "tag": "c"}, "output": "", "order_index": 1},
+    ]
+    tcfg = TurboConfig(tile=8, width=64, out_width=192, k_steps=16)
+    compiled = compile_src(src)
+    engine = TurboEngine(compiled, tcfg)
+    batch = engine.load_batch([dict(s) for s in states])
+    # every big-output instance got its own spill entry
+    assert set(engine._out_prefix) == {2, 3}
+    final = engine.run(batch, max_rounds=100)
+    results = engine.results(final)
+    capsys.readouterr()
+    for r, s in zip(results, states):
+        d = s["inserts"]["i"] * 2
+        want_out = s["output"] + f"+{s['inserts']['tag']}{d};"
+        want_ins = dict(s["inserts"], d=d)
+        assert r.status == DONE
+        assert r.output == want_out, (r.output, want_out)
+        assert r.inserts == want_ins, (r.inserts, want_ins)
