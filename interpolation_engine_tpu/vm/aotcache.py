@@ -79,7 +79,15 @@ def load_or_export(name: str, key: str, build_fn, example_args, *,
         try:
             with open(path, "rb") as f:
                 payload, in_tree, out_tree = pickle.load(f)
-            return _se.deserialize_and_load(payload, in_tree, out_tree)
+            loaded = _se.deserialize_and_load(payload, in_tree, out_tree)
+            # smoke-run on zeros: a stale executable can fail at CALL
+            # time, not load time (seen: XLA:CPU AOT machine-feature
+            # mismatch) — rebuild instead of crashing the engine later
+            import jax.numpy as jnp
+            zeros = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), example_args)
+            jax.block_until_ready(loaded(*zeros))
+            return loaded
         except Exception:
             pass  # stale, unreadable, or plugin mismatch: rebuild below
     fn = build_fn()

@@ -89,3 +89,63 @@ def test_device_text_adventure_two_turns(tmp_path, capsys, mode):
     assert "> open the door" in backend.output_text
     assert "? (what year is it)" in backend.output_text
     assert "<action>" not in backend.output_text
+
+
+def test_turbo_text_adventure_two_turns(tmp_path, capsys):
+    """The flagship program on the TURBO engine end-to-end: compute in the
+    mega-kernel until the race block's blocking lanes park, escape to the
+    general engine's exact lane ring, and reproduce the host-engine turn
+    transcript. Eligibility alone (test_turbo.py) doesn't prove the run."""
+    from interpolation_engine_tpu.vm.turbo import TurboConfig, TurboEngine
+
+    counter = {"n": 0}
+
+    def counting_responder(body):
+        counter["n"] += 1
+        return responder(body)
+
+    async def go():
+        async with FakeSSEServer(counting_responder, chunk_size=2) as server:
+            path = make_adventure_program(tmp_path, server.url)
+            invalidate_cache()
+            program, _ = load(path)
+            compiled = compile_program(program)
+            assert not compiled.host_only
+
+            backend = BlockingScriptedBackend([
+                "A lonely arctic outpost.",
+                "open the door",
+                "(what year is it)",
+            ])
+            tcfg = TurboConfig(tile=8, width=128, out_width=256, k_steps=16)
+            engine = TurboEngine(compiled, tcfg,
+                                 io_factory=lambda i: IOManager(backend))
+            batch = engine.make_batch(1)
+            task = asyncio.create_task(
+                engine.run_async(batch, max_rounds=5000))
+            for _ in range(600):
+                await asyncio.sleep(0.1)
+                if not backend.responses and counter["n"] >= 3:
+                    break
+            await asyncio.sleep(0.5)
+            task.cancel()
+            try:
+                await task
+            except asyncio.CancelledError:
+                pass
+            for t in engine._escape_tasks.values():
+                t.cancel()
+                try:
+                    await t
+                except (asyncio.CancelledError, Exception):
+                    pass
+            return backend
+
+    backend = asyncio.run(go())
+    capsys.readouterr()
+
+    assert backend.responses == []
+    assert "You wake in a cold cabin." in backend.output_text
+    assert "> open the door" in backend.output_text
+    assert "? (what year is it)" in backend.output_text
+    assert "<action>" not in backend.output_text
