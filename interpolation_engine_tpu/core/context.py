@@ -45,7 +45,6 @@ def log_enabled() -> bool:
 
 
 def log(msg: str, flush: bool = False):
-    sink = CTX.log_sink
-    if getattr(sink, "name", None) == os.devnull:
-        return  # no --log: skip the devnull write (hot in the ring)
-    print(msg, file=sink, flush=flush)
+    if not log_enabled():  # no --log: skip the devnull write
+        return
+    print(msg, file=CTX.log_sink, flush=flush)

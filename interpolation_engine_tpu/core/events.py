@@ -144,6 +144,10 @@ class EventLogger:
                      if k not in ("traceback_label", "line", "cmd")})
 
     def transcript(self, messages: list):
+        if not self.enabled:  # skip per-message previews without a sink
+            self.counters[CHAT_TRANSCRIPT] = \
+                self.counters.get(CHAT_TRANSCRIPT, 0) + 1
+            return
         self.emit(CHAT_TRANSCRIPT, n_messages=len(messages))
         for m in messages:
             print(f"    {m['role'].upper()}: {preview_value(m['content'])}",

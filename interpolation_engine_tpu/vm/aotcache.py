@@ -34,6 +34,22 @@ import pickle
 import jax
 
 
+def kernel_sources() -> tuple:
+    """Every .py file under vm/, ops/, and compiler/ (sorted): the kernels
+    are built from the whole closure of these packages (branch builders,
+    ISA constants, byte-string primitives, the lowerer feeding the plan),
+    so the cache key must cover all of them — a key that misses a source
+    file serves a semantically stale executable after an edit, which the
+    zeros smoke-run cannot catch. Over-broad invalidation only costs a
+    rebuild."""
+    import glob
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = []
+    for sub in ("vm", "ops", "compiler"):
+        files += glob.glob(os.path.join(pkg, sub, "*.py"))
+    return tuple(sorted(files))
+
+
 def cache_key(source_files, parts) -> str:
     """Content hash of the kernel-defining sources + build parameters +
     the jax/platform identity."""
@@ -58,8 +74,7 @@ def cache_dir() -> str:
         "IE_TPU_KERNEL_CACHE_DIR", "~/.cache/ie_tpu_kernels"))
 
 
-def load_or_export(name: str, key: str, build_fn, example_args, *,
-                   donate_argnums=(), registrations=()):
+def load_or_export(name: str, key: str, build_fn, example_args):
     """Return a ready-to-run callable for the kernel named (name, key).
 
     Reloads a previously serialized executable when one exists; otherwise
@@ -67,10 +82,9 @@ def load_or_export(name: str, key: str, build_fn, example_args, *,
     compiles it against ``example_args`` (ShapeDtypeStruct pytrees),
     writes the serialized executable, and returns the compiled function.
     The returned callable is shape-locked to ``example_args`` — callers
-    memoize per shape. ``donate_argnums``/``registrations`` are accepted
-    for signature stability; donation comes from build_fn's own jit.
+    memoize per shape. Input-output aliasing (donation) is whatever
+    build_fn's own jit declares; it is baked into the executable.
     """
-    del donate_argnums, registrations  # donation lives in build_fn's jit
     if not enabled():
         return build_fn()
     from jax.experimental import serialize_executable as _se

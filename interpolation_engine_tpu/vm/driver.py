@@ -127,7 +127,7 @@ class DeviceRunner:
         accelerators: the lax.switch step's tracing+lowering runs minutes
         per process on remote-compile backends; the exported module
         reloads in seconds. Keyed by (cfg, opcode set, batch/table shapes,
-        inner_steps) + the step/state/driver sources — programs sharing
+        inner_steps) + every vm/ops/compiler source — programs sharing
         padded table shapes share the executable, exactly like
         _get_jitted_run. Off-accelerator the plain jitted runner is used
         (CPU compiles are cheap and tests churn code)."""
@@ -141,13 +141,11 @@ class DeviceRunner:
                     return _run(b, t, _k)
             else:
                 from . import aotcache
-                from . import state as _state_mod
-                from . import step as _step_mod
                 sds = jax.tree.map(
                     lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
                     (batch, self.tables))
                 key = aotcache.cache_key(
-                    (__file__, _step_mod.__file__, _state_mod.__file__),
+                    aotcache.kernel_sources(),
                     (self.cfg,
                      tuple(sorted(self._ops)) if self._ops else None,
                      inner_steps,
@@ -158,10 +156,7 @@ class DeviceRunner:
                     lambda: jax.jit(
                         lambda b, t, _run=run, _k=inner_steps:
                         _run(b, t, _k)),
-                    sds,
-                    registrations=(
-                        (VMInstance, "ie_tpu.VMInstance"),
-                        (_step_mod.Tables, "ie_tpu.Tables")))
+                    sds)
             self._aot_fns[memo_key] = fn
         return fn
 

@@ -2180,13 +2180,25 @@ class TurboEngine:
         ~20MB/s), while U unique rows + an int32 index expanded with
         jnp.take on device cost seconds. Encode cost drops the same way
         (U encodes instead of N)."""
-        import json as _json
         self._out_prefix.clear()
+
+        def canon(v):
+            """Type-faithful structural key: json.dumps would conflate
+            tuple/list and bool/int (and bool dict keys with their str
+            forms), merging states the encoder accepts with ones it must
+            REJECT — repr preserves every type distinction."""
+            if isinstance(v, dict):
+                return ("d", tuple(sorted(
+                    (repr(k), canon(x)) for k, x in v.items())))
+            if isinstance(v, (list, tuple)):
+                return (type(v).__name__, tuple(canon(x) for x in v))
+            return repr(v)
+
         uniq_rows: list = []
         seen: dict = {}
         index = []
         for j, s in enumerate(states):
-            key = _json.dumps(s, sort_keys=True, default=repr)
+            key = repr(canon(s))
             u = seen.get(key)
             if u is None:
                 u = seen[key] = len(uniq_rows)
@@ -2298,10 +2310,9 @@ class TurboEngine:
         if self.interpret:
             return build_step_fn(self.plan, self.tcfg, n, self.interpret)
         import json as _json
-        from ..compiler import turbo as _ct
         from . import aotcache
         key = aotcache.cache_key(
-            (__file__, _ct.__file__),
+            aotcache.kernel_sources(),
             (_json.dumps(self.compiled.program, sort_keys=True,
                          default=repr),
              self.tcfg, n))
@@ -2313,8 +2324,7 @@ class TurboEngine:
         return aotcache.load_or_export(
             "turbo-step", key,
             lambda: build_step_fn(self.plan, self.tcfg, n, self.interpret),
-            (shapes,), donate_argnums=(0,),
-            registrations=((TurboBatch, "ie_tpu.TurboBatch"),))
+            (shapes,))
 
     # ---- host ring -----------------------------------------------------------
 
@@ -2580,30 +2590,43 @@ class TurboEngine:
             return self._write_row(sub, j, state, pc, steps, i)
         regs = sub["regs"][j]
         sbuf = sub["sbuf"][:, j]
-        for k, v in inserts.items():
-            if k in before and self._same_value(before[k], v):
-                continue
-            s = self.plan.slot_of.get(str(k))
-            if s is not None:
-                self._zero_slot(regs, sbuf, s)
-            self._encode_slot(regs, sbuf, k, v)
-        if state["output"] != before_output:
-            # same spill protocol as _write_row: the decoded output had
-            # any stored prefix folded in, so it must not survive
-            if i is not None:
-                self._out_prefix.pop(i, None)
-            output = state["output"]
-            if (i is not None and len(output.encode("utf-8"))
-                    > self.tcfg.out_width // 2):
-                epoch = int(regs[C_CLREPOCH])
-                self._out_prefix[i] = (output, epoch)
-                output = ""
-            data = output.encode("utf-8")
-            if len(data) > self.tcfg.out_width:
-                raise TurboEncodeError("output exceeds the device buffer")
-            sub["out"][j, :] = 0
-            sub["out"][j, :len(data)] = np.frombuffer(data, np.uint8)
-            regs[C_OUTLEN] = len(data)
+        # atomicity: a TurboEncodeError mid-loop must not leave a half-
+        # updated row behind — the caller retires the lane, but the row
+        # would still be scattered to the device and is reachable via
+        # export_state (the full rewrite encoded into a fresh row, so it
+        # was atomic by construction)
+        regs_bak = regs.copy()
+        sbuf_bak = sbuf.copy()
+        try:
+            for k, v in inserts.items():
+                if k in before and self._same_value(before[k], v):
+                    continue
+                s = self.plan.slot_of.get(str(k))
+                if s is not None:
+                    self._zero_slot(regs, sbuf, s)
+                self._encode_slot(regs, sbuf, k, v)
+            if state["output"] != before_output:
+                # same spill protocol as _write_row: the decoded output
+                # had any stored prefix folded in, so it must not survive
+                if i is not None:
+                    self._out_prefix.pop(i, None)
+                output = state["output"]
+                if (i is not None and len(output.encode("utf-8"))
+                        > self.tcfg.out_width // 2):
+                    epoch = int(regs[C_CLREPOCH])
+                    self._out_prefix[i] = (output, epoch)
+                    output = ""
+                data = output.encode("utf-8")
+                if len(data) > self.tcfg.out_width:
+                    raise TurboEncodeError(
+                        "output exceeds the device buffer")
+                sub["out"][j, :] = 0
+                sub["out"][j, :len(data)] = np.frombuffer(data, np.uint8)
+                regs[C_OUTLEN] = len(data)
+        except TurboEncodeError:
+            regs[:] = regs_bak
+            sbuf[:] = sbuf_bak
+            raise
         # unchanged-output case: the stored prefix (if any) stays
         # registered and the device bytes stay put — decode folds them
         # back together exactly as before

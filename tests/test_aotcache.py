@@ -65,3 +65,36 @@ def test_cache_key_sensitivity(tmp_path):
     assert k1 != aotcache.cache_key((str(src),), ("other",))
     src.write_text("A = 2\n")
     assert k1 != aotcache.cache_key((str(src),), ("part",))
+
+
+def test_load_batch_dedup_key_is_type_faithful():
+    """The dedup key must NOT conflate states json would merge: a tuple
+    value serializes like a list but the encoder REJECTS it, and bool
+    dict keys are not their string forms — conflation would silently
+    accept a state the engine must reject (load parity contract)."""
+    import jax
+    from interpolation_engine_tpu import json5
+    from interpolation_engine_tpu.compiler import compile_program
+    from interpolation_engine_tpu.programs.loader import add_line_numbers
+    from interpolation_engine_tpu.programs.validator import validate_program
+    from interpolation_engine_tpu.vm.turbo import (TurboConfig, TurboEngine,
+                                                   TurboEncodeError)
+    src = """
+    {
+        default_state: {order_index: 1, inserts: {hist: ['a']}},
+        order: [{cmd:'list_append', list:'{hist}', item:'b',
+                 output_name:'hist'},
+                {cmd:'print', text:'{hist}'}],
+        named_tasks: {}, save_states: {},
+    }
+    """
+    program = json5.loads(add_line_numbers(src))
+    validate_program(program)
+    compiled = compile_program(program)
+    eng = TurboEngine(compiled,
+                      TurboConfig(tile=8, width=64, out_width=96,
+                                  k_steps=8))
+    good = {"inserts": {"hist": ["a", 1]}, "output": "", "order_index": 1}
+    bad = {"inserts": {"hist": ("a", 1)}, "output": "", "order_index": 1}
+    with pytest.raises(TurboEncodeError):
+        eng.load_batch([good, bad])
