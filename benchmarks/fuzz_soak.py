@@ -31,8 +31,8 @@ from interpolation_engine_tpu.vm.config import DONE
 
 from test_turbo import TCFG, gen_turbo_program, run_turbo  # noqa: E402
 
-RESPONSES = ["ada", "7", "x y", "go", "{brace", "z}", "tail",
-             "0", "-3", "plain"] * 3
+RESPONSES = ["ada", "1", "x y", "beta", "{brace", "2", "tail",
+             "3", "gm", "plain", "7", "z}"] * 3
 
 
 def main():

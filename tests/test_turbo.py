@@ -372,13 +372,20 @@ def gen_turbo_program(rng: random.Random):
     for _ in range(rng.randint(2, 8)):
         kind = rng.choice(["print", "set", "math", "delete", "label_goto",
                            "goto_map", "for", "list_op", "parallel",
-                           "user_input"])
+                           "user_input", "user_choice"])
         if kind == "user_input":
             # top-level blocking IO: parks the lane through the host ring
             # (the delta write-back path) — responses are scripted
             # identically for both engines
             tasks.append({"cmd": "user_input", "prompt": "q? ",
                           "output_name": rng.choice(keys + ["ui"])})
+            continue
+        if kind == "user_choice":
+            # scripted choices are consumed identically by both engines;
+            # ScriptedBackend picks by 1-based index modulo the list
+            tasks.append({"cmd": "user_choice", "prompt": "pick: ",
+                          "choices": ["alpha", "beta", "gm"],
+                          "output_name": rng.choice(keys + ["uc"])})
             continue
         if kind == "list_op":
             op = rng.choice(["append", "index", "slice", "join", "remove",
@@ -510,9 +517,11 @@ def gen_turbo_program(rng: random.Random):
 def test_random_turbo_programs_agree(tmp_path, capsys):
     rng = random.Random(20260817)
     # enough canned answers for any generated program; a brace-carrying
-    # value stresses the park + delta-write-back corner
-    responses = ["ada", "7", "x y", "go", "{brace", "z}", "tail",
-                 "0", "-3", "plain"] * 2
+    # value stresses the park + delta-write-back corner, "1"/"beta"/"2"
+    # satisfy user_choice (an out-of-range value like "7" exercises the
+    # error-class parity path instead)
+    responses = ["ada", "1", "x y", "beta", "{brace", "2", "tail",
+                 "3", "gm", "plain", "7", "z}"] * 2
     n_compared = 0
     for idx in range(40):
         program = gen_turbo_program(rng)
