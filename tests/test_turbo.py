@@ -382,9 +382,9 @@ def gen_turbo_program(rng: random.Random):
             continue
         if kind == "user_choice":
             # scripted choices are consumed identically by both engines;
-            # ScriptedBackend picks by 1-based index modulo the list
-            tasks.append({"cmd": "user_choice", "prompt": "pick: ",
-                          "choices": ["alpha", "beta", "gm"],
+            # ScriptedBackend accepts the 1-based key or exact option text
+            tasks.append({"cmd": "user_choice", "description": "pick: ",
+                          "list": ["alpha", "beta", "gm"],
                           "output_name": rng.choice(keys + ["uc"])})
             continue
         if kind == "list_op":
