@@ -15,8 +15,17 @@ Workloads (BENCH_WORKLOAD env):
   ring — BENCH_RING_FRAC (default 10%) of instances park through the
       host ring every loop iteration (user_input serviced by a canned
       backend); reports the ring's wall-clock share on stderr.
+  race-io — the reference flagship's ACTUAL operating shape (VERDICT r3
+      next #1): the adventure spine with a blocking user_input lane
+      inside every parallel_race, so EVERY instance rides the ring once
+      per turn (canned sync backend). Zero per-instance runners; lane
+      parks are serviced through the turbo ring's vectorized fast path.
 
 Engines (BENCH_ENGINE env): turbo (default) | general.
+
+BENCH_INTERP=1 additionally reports interpolation throughput (bytes/sec
+through the general interp kernel at batch width) on stderr — the
+BASELINE.md tracked metric.
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline is
 measured against the driver's north-star target of 10M tasks/sec/chip.
@@ -76,6 +85,66 @@ RING_PROGRAM = """
     named_tasks: {}, save_states: {},
 }
 """
+
+
+def race_io_program(n_rooms: int = 6, t_max: int = 1 << 30,
+                    trim: int = 10) -> str:
+    """The adventure spine with the reference flagship's real blocking
+    shape (examples/text_adventure.json5:66-198): every turn races a
+    compute "generation" lane against a BLOCKING user_input lane. The
+    compute lane wins; the input lane's park is serviced at race
+    cancellation (one ring park per instance per turn)."""
+    rooms = []
+    for r in range(n_rooms):
+        nr = (r + 1) % n_rooms
+        nr2 = (r + 3) % n_rooms
+        rooms.append("""
+        {cmd:'label', name:'@room-%(r)d'},
+        {cmd:'clear'},
+        {cmd:'math', input:'{turn} + 1', output_name:'turn'},
+        {cmd:'set', item:'scene-%(r)d-{turn}', output_name:'scene'},
+        {cmd:'list_append', list:'{hist}', item:'h%(r)d.{turn}',
+         output_name:'hist'},
+        {cmd:'math', input:'length(hist)', output_name:'hlen'},
+        {cmd:'goto_map', text:'{hlen}', target_maps:[
+            {'%(trim)d': '@trim-%(r)d'}, {'*': '@play-%(r)d'}]},
+        {cmd:'label', name:'@trim-%(r)d'},
+        {cmd:'list_slice', list:'{hist}', from_index:5,
+         to_index:'{hlen}', output_name:'hist'},
+        {cmd:'label', name:'@play-%(r)d'},
+        {cmd:'parallel_race', tasks:[
+            {cmd:'serial', tasks:[
+                {cmd:'set', item:'gen-{scene}', output_name:'gen'},
+                {cmd:'print', text:'{gen};'},
+            ]},
+            {cmd:'serial', tasks:[
+                {cmd:'user_input', prompt:'> ', output_name:'choice'},
+            ]},
+        ]},
+        {cmd:'math', input:'{acc} + {turn} %% 7', output_name:'acc'},
+        {cmd:'goto_map', text:'{turn}', target_maps:[
+            {'%(tmax)d': '@fin'}, {'*': '@hop-%(r)d'}]},
+        {cmd:'label', name:'@hop-%(r)d'},
+        {cmd:'goto_map', text:'{choice}-{hlen}', target_maps:[
+            {'c%(r)d-3': '@room-%(nr2)d'},
+            {'c*': '@room-%(nr)d'},
+            {'*': '@fin'}]},
+        """ % {"r": r, "nr": nr, "nr2": nr2, "tmax": t_max,
+               "trim": trim})
+    return """
+    {
+        default_state: {order_index: 1, inserts:
+            {turn: 0, acc: 0, hist: ['seed'], choice: 'c0'}},
+        order: [
+            %s
+            {cmd:'label', name:'@fin'},
+            {cmd:'print', text:'fin turn={turn} '},
+            {cmd:'print', text:'acc={acc} '},
+            {cmd:'print', text:'hist={hist}'},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """ % "".join(rooms)
 
 
 def adventure_program(n_rooms: int = 6, t_max: int = 1 << 30,
@@ -192,6 +261,10 @@ def measure():
         src = BENCH_PROGRAM
     elif workload == "ring":
         src = RING_PROGRAM
+    elif workload == "race-io":
+        cap = int(os.environ.get("BENCH_LIST_CAP", 12))
+        src = race_io_program(int(os.environ.get("BENCH_ROOMS", 6)),
+                              trim=min(10, cap - 2))
     else:
         cap = int(os.environ.get("BENCH_LIST_CAP", 12))
         src = adventure_program(int(os.environ.get("BENCH_ROOMS", 6)),
@@ -214,6 +287,9 @@ def measure():
     if workload == "ring":
         executed, elapsed, compile_s = _measure_ring(
             compiled, n_instances, rounds)
+    elif workload == "race-io":
+        executed, elapsed, compile_s = _measure_race_io(
+            compiled, n_instances, rounds)
     elif engine == "turbo":
         executed, elapsed, compile_s = _measure_turbo(
             compiled, n_instances, rounds, on_accel, divergence)
@@ -233,6 +309,61 @@ def measure():
     print(json.dumps(result))
     print(f"# executed={executed} elapsed={elapsed:.3f}s "
           f"compile={compile_s:.1f}s platform={platform}", file=sys.stderr)
+
+    if os.environ.get("BENCH_INTERP", "1") != "0":
+        try:
+            bps = _measure_interp_bytes(min(n_instances, 131_072))
+            print(f"# interpolation_bytes_per_sec={bps:.3e}",
+                  file=sys.stderr)
+        except Exception as e:  # keep the headline metric robust
+            print(f"# interpolation bytes/sec probe failed: {e!r}",
+                  file=sys.stderr)
+
+
+def _measure_interp_bytes(n_instances: int) -> float:
+    """BASELINE.md's tracked metric: interpolation throughput in rendered
+    bytes/sec through the general interpolation kernel (ops/interp_kernel
+    — the exact-semantics byte-scan engine), jit+vmap over the batch on
+    the same device as the headline metric."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from interpolation_engine_tpu.vm.config import VMConfig
+    from interpolation_engine_tpu.vm.state import encode_instance
+    from interpolation_engine_tpu.ops import interp_kernel as ik
+
+    cfg = VMConfig(max_str=256, max_key=24, n_slots=12, arena_size=1024,
+                   pool_size=16, out_size=128, max_subst=8, max_stars=2,
+                   max_list=8, max_fix=4)
+    inserts = {"who": "traveler", "scene": "the tower of dawn",
+               "turn": 12847}
+    template = ("You are {who} at {scene} on turn {turn}; "
+                "{who} studies {scene} again.")
+    proto = encode_instance(inserts, cfg, pc=0, rng=1)
+    batch = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (n_instances,) + x.shape),
+        proto)
+    tmpl = np.zeros((cfg.max_str,), np.uint8)
+    data = template.encode("utf-8")
+    tmpl[:len(data)] = np.frombuffer(data, np.uint8)
+    buf = jnp.asarray(tmpl)
+    ln = jnp.int32(len(data))
+
+    @jax.jit
+    def rendered_lengths(b):
+        return jax.vmap(
+            lambda s: ik.interpolate(s, buf, ln, cfg).length)(b)
+
+    lens = jax.block_until_ready(rendered_lengths(batch))  # compile+warm
+    per_pass = int(np.asarray(lens, np.int64).sum())
+    assert per_pass > 0
+    iters = int(os.environ.get("BENCH_INTERP_ITERS", 10))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        lens = rendered_lengths(batch)
+    jax.block_until_ready(lens)
+    dt = time.perf_counter() - t0
+    return per_pass * iters / dt
 
 
 def _measure_turbo(compiled, n_instances, rounds, on_accel,
@@ -262,17 +393,22 @@ def _measure_turbo(compiled, n_instances, rounds, on_accel,
     default_leaf = 4 if os.environ.get("BENCH_WORKLOAD",
                                        "adventure") == "spine" else 128
     tcfg = TurboConfig(tile=int(os.environ.get("BENCH_TILE", default_tile)),
-                       width=128,
+                       width=int(os.environ.get("BENCH_WIDTH", 128)),
                        out_width=int(os.environ.get("BENCH_OUT", 128)),
                        k_steps=inner_steps,
                        list_cap=int(os.environ.get("BENCH_LIST_CAP", 12)),
+                       elem_width=int(os.environ.get("BENCH_ELEM", 32)),
                        leaf=int(os.environ.get("BENCH_LEAF", default_leaf)))
     eng = TurboEngine(compiled, tcfg)
     if divergence > 0:
         inserts = dict(compiled.program["default_state"]["inserts"])
         # every referenced key defined, so no lane ring-parks on a missing
-        # key — the bench isolates pc divergence, not ring pressure
-        inserts.update({"scene": "s", "gen": "g", "hlen": 1})
+        # key — the bench isolates pc divergence, not ring pressure (keys
+        # filtered so non-adventure workloads, e.g. the spine at leaf=4,
+        # can also run divergent — VERDICT r3 next #6)
+        extra = {"scene": "s", "gen": "g", "hlen": 1}
+        inserts.update({k: v for k, v in extra.items()
+                        if k in eng.plan.slot_of})
         n_top = len(compiled.program["order"])
         targets = [1 + (k * n_top) // divergence
                    for k in range(divergence)]
@@ -357,6 +493,68 @@ def _measure_ring(compiled, n_instances, rounds):
     print(f"# ring: rounds={rs['rounds']} parks={rs['parks']} "
           f"ring_ms={rs['ring_ms']:.1f} "
           f"ring_share={rs['ring_ms'] / max(elapsed * 1e3, 1e-9):.3f}",
+          file=sys.stderr)
+    return steps1 - steps0, elapsed, compile_s
+
+
+def _measure_race_io(compiled, n_instances, rounds):
+    """The flagship's real operating envelope (VERDICT r3 next #1):
+    EVERY instance blocks on user_input inside its parallel_race EVERY
+    turn, so the ring services n_instances lane parks per turn. The
+    canned backend is sync (one plain call per instance — the only
+    irreducibly per-row work); everything else is vectorized: u8
+    classification columns down, a deduped response table up, resume
+    bookkeeping on device. Zero per-instance runners by construction
+    (asserted)."""
+    import asyncio
+    import numpy as np
+    import jax
+    from interpolation_engine_tpu.io.manager import BufferBackend, IOManager
+    from interpolation_engine_tpu.vm.turbo import TurboConfig, TurboEngine
+
+    class CannedSyncBackend(BufferBackend):
+        sync_io = True
+
+        def user_input_sync(self, prompt, default=""):
+            return "cgo"
+
+    inner_steps = int(os.environ.get("BENCH_INNER_STEPS", 64))
+    tcfg = TurboConfig(tile=int(os.environ.get("BENCH_TILE", 512)),
+                       width=int(os.environ.get("BENCH_WIDTH", 128)),
+                       out_width=int(os.environ.get("BENCH_OUT", 128)),
+                       k_steps=inner_steps,
+                       list_cap=int(os.environ.get("BENCH_LIST_CAP", 12)),
+                       elem_width=int(os.environ.get("BENCH_ELEM", 32)),
+                       leaf=int(os.environ.get("BENCH_LEAF", 128)))
+    eng = TurboEngine(compiled, tcfg,
+                      io_factory=lambda i: IOManager(CannedSyncBackend()))
+    batch = eng.make_batch(n_instances)
+    step = eng.step_fn(batch.regs.shape[0])
+
+    t0 = time.perf_counter()
+    batch = step(batch)
+    jax.block_until_ready(batch.regs)
+    compile_s = time.perf_counter() - t0
+    # one warm-up ring round: compiles the classification gather and the
+    # device-side fast-resume executables outside the timed region
+    batch = asyncio.run(eng.run_async(batch, max_rounds=1))
+
+    steps0 = int(np.asarray(batch.regs[:, 2]).sum())
+    rs0 = dict(eng.ring_stats)
+    t0 = time.perf_counter()
+    batch = asyncio.run(eng.run_async(batch, max_rounds=rounds))
+    jax.block_until_ready(batch.regs)
+    elapsed = time.perf_counter() - t0
+    steps1 = int(np.asarray(batch.regs[:, 2]).sum())
+    rs = eng.ring_stats
+    assert not eng._escape_results and not eng._promote_states and \
+        not eng._escape_states, "race-io must stay fully batched"
+    print(f"# race-io ring: rounds={rs['rounds']} "
+          f"parks={rs['parks'] - rs0['parks']} "
+          f"fast={rs['fast_parks'] - rs0['fast_parks']} "
+          f"ring_ms={rs['ring_ms'] - rs0['ring_ms']:.1f} "
+          f"ring_share="
+          f"{(rs['ring_ms'] - rs0['ring_ms']) / max(elapsed * 1e3, 1e-9):.3f}",
           file=sys.stderr)
     return steps1 - steps0, elapsed, compile_s
 

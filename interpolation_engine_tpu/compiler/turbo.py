@@ -24,9 +24,11 @@ semantics equal host semantics or the lane PARKs.
 
 Eligibility (NotTurbo) is about *state shape*: every key that can ever
 persist in ``state['inserts']`` must be statically known and hold an
-int-or-string value that fits the slot byte width, because parked lanes are
-decoded/encoded through the static slot table. Lists, dynamic output names,
-``for`` loops (v1), and inserts-dir fallbacks stay on the general engine.
+int/str/flat-list value that fits the slot byte widths, because parked
+lanes are decoded/encoded through the static slot table. Lists (element
+pools), literal and dynamic ``for`` loops, and in-kernel parallel thread
+lanes are native since round 3; dynamic output names, dict values, and
+inserts-dir fallbacks stay on the general engine.
 """
 
 from __future__ import annotations

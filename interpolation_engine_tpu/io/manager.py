@@ -34,6 +34,16 @@ def choice_keys(n_options: int) -> list[str]:
 class BufferBackend:
     """Collects output; inputs must be pre-seeded or an error is raised."""
 
+    # Batched-ring contract: True promises user_input never truly
+    # suspends (completes — or raises — within its first coroutine
+    # slice) AND does not depend on output_text being current at
+    # user_input time. The turbo engine's vectorized park servicing
+    # (vm/turbo.py fast ring) only engages for such backends; backends
+    # may additionally define ``user_input_sync(prompt, default="")``
+    # to skip coroutine dispatch entirely. File/terminal backends
+    # (AgentBackend, LineTerminalBackend) suspend and stay False.
+    sync_io = False
+
     def __init__(self):
         self.output_text = ""
 
@@ -63,6 +73,8 @@ class BufferBackend:
 class ScriptedBackend(BufferBackend):
     """Replays a queue of canned responses (test harness)."""
 
+    sync_io = True
+
     def __init__(self, responses: Optional[list[str]] = None):
         super().__init__()
         self.responses = list(responses or [])
@@ -76,11 +88,14 @@ class ScriptedBackend(BufferBackend):
             raise RuntimeError("ScriptedBackend ran out of canned responses.")
         return self.responses.pop(0)
 
-    async def user_input(self, prompt: str, default: str = "") -> str:
+    def user_input_sync(self, prompt: str, default: str = "") -> str:
         answer = self._next()
         self.exchanges.append(
             {"type": "user_input", "prompt": prompt, "answer": answer})
         return answer
+
+    async def user_input(self, prompt: str, default: str = "") -> str:
+        return self.user_input_sync(prompt, default)
 
     async def select_index(self, options: list, description: Optional[str] = None) -> int:
         if not options:

@@ -52,13 +52,23 @@ def kernel_sources() -> tuple:
 
 def cache_key(source_files, parts) -> str:
     """Content hash of the kernel-defining sources + build parameters +
-    the jax/platform identity."""
+    the jax/jaxlib/PJRT-plugin/platform identity (the plugin can change
+    codegen without a jax version bump — ADVICE r3)."""
     h = hashlib.sha256()
     for p in source_files:
         with open(p, "rb") as f:
             h.update(f.read())
     dev = jax.devices()[0]
-    h.update(repr((jax.__version__, dev.platform,
+    try:
+        import jaxlib
+        jaxlib_ver = jaxlib.__version__
+    except Exception:  # pragma: no cover - jaxlib always ships with jax
+        jaxlib_ver = ""
+    try:
+        platform_ver = jax.extend.backend.get_backend().platform_version
+    except Exception:
+        platform_ver = ""
+    h.update(repr((jax.__version__, jaxlib_ver, platform_ver, dev.platform,
                    getattr(dev, "device_kind", ""))).encode())
     for part in parts:
         h.update((part if isinstance(part, str) else repr(part)).encode())
@@ -111,7 +121,11 @@ def load_or_export(name: str, key: str, build_fn, example_args):
         return fn  # lowering quirk (e.g. AOT-unsupported backend)
     try:
         blob = pickle.dumps(_se.serialize(compiled))
-        os.makedirs(cache_dir(), exist_ok=True)
+        # private dir: entries are unpickled at load time, so a writable
+        # shared cache dir would be arbitrary-code-execution at deserialize
+        # time — keep it 0700 (pre-existing dirs keep their mode; point
+        # IE_TPU_KERNEL_CACHE_DIR only at private locations)
+        os.makedirs(cache_dir(), mode=0o700, exist_ok=True)
         tmp = f"{path}.tmp{os.getpid()}"
         with open(tmp, "wb") as f:
             f.write(blob)

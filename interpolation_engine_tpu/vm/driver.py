@@ -28,14 +28,14 @@ import jax
 import jax.numpy as jnp
 
 from ..core.context import CTX, ESCAPE, INSERT_START, INSERT_STOP
-from ..core.events import EVENTS, VM_PARK, VM_ROUND, VM_STATS
-from ..core.executor import Runtime, execute_task
-from ..core.interp import InterpolationException
+from ..core.events import EVENTS, VM_ROUND, VM_STATS
+from ..core.executor import Runtime
 from ..compiler.lower import CompiledProgram, compile_program
 from ..io.manager import BufferBackend, IOManager
 from ..programs.loader import load
 from .config import (PARKED, PARK_AWAIT_INSERT, PARK_THREADS, RUNNING,
-                     T_FREE, T_NEW, T_READY, T_WAIT, VMConfig)
+                     VMConfig)
+from .lanering import LaneRing
 from .state import (
     VMInstance,
     decode_inserts,
@@ -85,11 +85,21 @@ class DeviceRunner:
 
     def __init__(self, compiled: CompiledProgram, cfg: VMConfig = None,
                  io_factory: Callable[[int], IOManager] = None,
-                 mode: str = "auto"):
+                 mode: str = "auto", lanering: LaneRing = None,
+                 instance_ids: list = None):
         """mode: 'jit' (compile the batched step — the accelerator path),
         'eager' (per-instance concrete stepping — no whole-VM XLA compile;
-        used by tests and tiny CPU batches), or 'auto'."""
+        used by tests and tiny CPU batches), or 'auto'. ``lanering``: an
+        existing LaneRing to share — an engine escaping instances into this
+        runner passes its own so in-flight lane IO survives the migration.
+        ``instance_ids``: global instance id per batch row (default: the
+        row index) — keys the shared LaneRing's pending map so adopted
+        in-flight IO is found under its original id."""
         self.compiled = compiled
+        self.instance_ids = list(instance_ids) if instance_ids else None
+        self._row_index = ({gid: row for row, gid
+                            in enumerate(self.instance_ids)}
+                           if self.instance_ids else None)
         self.cfg = cfg or VMConfig()
         self.io_factory = io_factory or (lambda i: IOManager(BufferBackend()))
         self.tables = pack_tables(compiled)
@@ -112,9 +122,10 @@ class DeviceRunner:
             raise ValueError(
                 f"program spawns {compiled.needs_threads} parallel threads "
                 f"but cfg.max_threads={self.cfg.max_threads}")
-        # host IO pending per instance while its parallel-block lanes wait:
-        # i → {"epoch": par_epoch when created, "tasks": {lane: asyncio.Task}}
-        self._pending: dict = {}
+        # host IO pending per instance while its parallel-block lanes wait
+        # lives in the (possibly shared) LaneRing (vm/lanering.py)
+        self._lanering = lanering if lanering is not None \
+            else LaneRing(compiled)
         # capacity-cliff telemetry (VERDICT W8): how often real programs
         # blow the VMConfig limits and thrash the ring
         self.ring_stats = {"rounds": 0, "parks": 0, "capacity_parks": 0,
@@ -230,18 +241,20 @@ class DeviceRunner:
     # ---- host ring ---------------------------------------------------------------
 
     def _await_insert_ready(self, task, inserts) -> bool:
-        """Non-blocking await_insert check: does the (interpolated) key
-        exist? Mirrors the reference's poll loop without sleeping."""
-        name = task.get("name")
-        from ..core.interp import get_simple_insertkey, interpolate_inserts
-        try:
-            resolved = name
-            key = get_simple_insertkey(name)
-            if key or INSERT_START in str(name):
-                resolved = interpolate_inserts(inserts, name)
-        except InterpolationException:
-            resolved = None
-        return resolved is not None and resolved in inserts
+        """Non-blocking await_insert check (vm/lanering.py)."""
+        from .lanering import await_insert_ready
+        return await_insert_ready(task, inserts)
+
+    def _gid(self, row: int) -> int:
+        """Global instance id of a batch row (shared-LaneRing keying)."""
+        return self.instance_ids[row] if self.instance_ids else row
+
+    def _row_of(self, gid: int, n: int):
+        """Batch row of a global id, or None when this runner doesn't own
+        it (pending entries of a sibling engine must not be swept here)."""
+        if self._row_index is not None:
+            return self._row_index.get(gid)
+        return gid if 0 <= gid < n else None
 
     def _runtime_for(self, i: int, rts: dict) -> Runtime:
         return rts.setdefault(i, Runtime(self.io_factory(i),
@@ -251,57 +264,16 @@ class DeviceRunner:
                                              "named_tasks", {})))
 
     def _for_head_park(self, pc: int):
-        """(exit_pc, loop_id) when pc is an OP_FOR_HEAD — a park there
-        makes the host run the WHOLE remaining loop, so the device must
-        resume at the loop exit with the counter reset, and the host needs
-        the current counter as a resume cursor (executor.py:413-423)."""
-        from . import isa as _isa
-        row = self.compiled.code[pc]
-        if int(row[0]) == _isa.OP_FOR_HEAD:
-            base = int(row[1])
-            return (int(self.compiled.aux[base + 1]),
-                    int(self.compiled.aux[base]))
-        return None, None
+        """(exit_pc, loop_id) for an OP_FOR_HEAD park (vm/lanering.py)."""
+        return self._lanering.for_head_park(pc)
 
     async def _exec_parked(self, rt: Runtime, state: dict, pc: int,
                            task: dict, i: int, kind: int,
                            counters=None) -> int:
         """Execute one parked task on the host against `state`; return the
-        next pc (goto results resolved through the parked pc's scope)."""
-        exit_pc, loop_id = self._for_head_park(pc)
-        if exit_pc is not None and counters is not None:
-            c = int(counters[loop_id])
-            if c >= 1:
-                # mid-loop head park: hand the host the reference-format
-                # cursor so it resumes at iteration c, not from scratch
-                label = task.get("traceback_label", "?")
-                state[f"order_index/{label}/counter"] = c
-        # device-side prints only touched the instance's output buffer; sync
-        # the IO backend so agent payloads carry the current screen content
-        backend = getattr(rt.io, "backend", None)
-        if backend is not None and hasattr(backend, "output_text"):
-            backend.output_text = state["output"]
-        EVENTS.emit(VM_PARK, label=task.get("traceback_label", "?"),
-                    instance=i, pc=pc, park_kind=kind)
-        result = await execute_task(rt, state, task,
-                                    task.get("traceback_label", "?"))
-        if result is None:
-            if exit_pc is not None:
-                if counters is not None:
-                    counters[loop_id] = 0  # the host completed the loop
-                return exit_pc
-            return pc + 1
-        if isinstance(result, dict) and "goto_target" in result:
-            target = result["goto_target"]
-            scope = self.compiled.scope_of[pc]
-            if target == "CONTINUE":
-                return pc + 1
-            key = (scope, target)
-            if key not in self.compiled.label_names:
-                raise ValueError(
-                    f"goto target '{target}' not found in scope")
-            return self.compiled.label_names[key]
-        raise RuntimeError(f"unexpected task result: {result}")
+        next pc (shared with the turbo ring — vm/lanering.py)."""
+        return await self._lanering.exec_parked(rt, state, pc, task, i,
+                                                kind, counters)
 
     async def _service_instance(self, st: VMInstance, i: int,
                                 rts: dict) -> VMInstance:
@@ -330,149 +302,33 @@ class DeviceRunner:
 
     # ---- parallel-block thread servicing -----------------------------------
 
-    async def _run_thread_task(self, rt: Runtime, i: int, pc: int,
-                               task: dict, kind: int, state: dict,
-                               counters=None):
-        """One waiting lane's host IO, on its own copy of the instance
-        state (the write-back happens at completion — exactly when the
-        reference's await resolves and its coroutine's writes land).
-        Loop-counter mutations (a for-head park whose whole loop ran on
-        host) come back as an explicit write-set for conflict-free merge."""
-        snap = {"inserts": dict(state["inserts"]), "output": state["output"]}
-        c0 = None if counters is None else np.asarray(counters).copy()
-        next_pc = await self._exec_parked(rt, state, pc, task, i, kind, c0)
-        counter_writes = {}
-        if c0 is not None:
-            counter_writes = {l: int(v) for l, v in enumerate(c0)
-                              if int(v) != int(counters[l])}
-        return snap, state, next_pc, counter_writes
-
-    @staticmethod
-    def _apply_delta(cur: dict, snap: dict, result: dict) -> None:
-        """Merge one completed lane's state writes into the live state
-        (last-write-wins at completion time, like asyncio)."""
-        for k, v in result["inserts"].items():
-            if k not in snap["inserts"] or snap["inserts"][k] != v:
-                cur["inserts"][k] = v
-        for k in snap["inserts"]:
-            if k not in result["inserts"]:
-                cur["inserts"].pop(k, None)
-        out, old = result["output"], snap["output"]
-        if out.startswith(old):
-            cur["output"] += out[len(old):]
-        elif out != old:
-            cur["output"] = out
-
     async def _cancel_pending(self, i: int) -> None:
-        pend = self._pending.pop(i, None)
-        if not pend:
-            return
-        for t in pend["tasks"].values():
-            t.cancel()
-        await asyncio.gather(*pend["tasks"].values(), return_exceptions=True)
+        await self._lanering.cancel(i)
 
     async def _service_threads(self, st: VMInstance, i: int,
                                rts: dict) -> VMInstance:
-        """Service an instance parked inside a parallel block — the device
-        twin of one asyncio event-loop pass.
-
-        Every waiting lane holds a persistent asyncio task (surviving across
-        rounds, so a pending chat/user_input is never restarted); new lane
-        tasks get one loop tick so their synchronous prefix runs. Resume
-        priority mirrors the event loop: the lane that just parked continues
-        if its IO completed without suspending (a non-yielding await is
-        invisible in the reference), else queued completions / never-run
-        lanes, else block until the first pending completion. par_mode==3
-        (drain): a finished race's never-run lanes just got their first
-        slice on device; give their host ops one tick, then cancel
-        everything and leave the block — asyncio.wait cancellation parity.
-        """
-        tstate = np.asarray(st.tstate).copy()
-        tpc = np.asarray(st.tpc).copy()
-        tpark_kind = np.asarray(st.tpark_kind)
-        tpark_arg = np.asarray(st.tpark_arg)
-        counters = np.asarray(st.counters).copy()
-        state = {"inserts": decode_inserts(st), "output": decode_output(st)}
-        epoch = int(st.par_epoch)
-        cur = int(st.cur_tid)
-        drain = int(st.par_mode) == 3
-        pend = self._pending.get(i)
-        if pend is not None and pend["epoch"] != epoch:
-            await self._cancel_pending(i)
-            pend = None
-        if pend is None:
-            pend = self._pending[i] = {"epoch": epoch, "tasks": {},
-                                       "errors": {}, "failed": set()}
+        """Service an instance parked inside a parallel block — the shared
+        asyncio event-loop twin (vm/lanering.py) over this engine's row
+        format."""
+        view = {
+            "tstate": np.asarray(st.tstate).copy(),
+            "tpc": np.asarray(st.tpc).copy(),
+            "tpark_kind": np.asarray(st.tpark_kind),
+            "tpark_arg": np.asarray(st.tpark_arg),
+            "counters": np.asarray(st.counters).copy(),
+            "state": {"inserts": decode_inserts(st),
+                      "output": decode_output(st)},
+            "cur": int(st.cur_tid),
+            "par_mode": int(st.par_mode),
+            "par_join": int(st.par_join),
+            "par_epoch": int(st.par_epoch),
+        }
         rt = self._runtime_for(i, rts)
-        wait_mode = int(st.par_mode) == 1
-
-        def waiting():
-            return [int(t) for t in np.nonzero(tstate == T_WAIT)[0]]
-
-        def spawn_new_lane_tasks():
-            for t in waiting():
-                if int(tpark_kind[t]) == PARK_AWAIT_INSERT or \
-                        t in pend["tasks"] or t in pend["failed"]:
-                    continue
-                pc = int(tpark_arg[t])
-                task = self.compiled.source_tasks[pc]
-                if task is None:
-                    raise RuntimeError(f"instance {i} lane {t}: parked at "
-                                       f"pc={pc} with no source task")
-                lane_state = {"inserts": dict(state["inserts"]),
-                              "output": state["output"]}
-                pend["tasks"][t] = asyncio.create_task(
-                    self._run_thread_task(rt, i, pc, task,
-                                          int(tpark_kind[t]), lane_state,
-                                          counters))
-
-        def collect_done(swallow_errors: bool = False) -> bool:
-            """Fold completed lane tasks into the live state.
-
-            Exceptions: wait mode propagates (asyncio.gather). Race mode
-            HOLDS them — the reference's wait(FIRST_COMPLETED)+done.pop()
-            is nondeterministic when a raise and a clean completion land in
-            the same slice burst; we deterministically let a clean winner
-            win (discarding losers' errors like its return_exceptions=True
-            sweep) and propagate only when no lane can still complete.
-            Drain mode swallows outright (the race already has a winner).
-            """
-            got = False
-            for t, atask in sorted(pend["tasks"].items()):
-                if not atask.done():
-                    continue
-                del pend["tasks"][t]
-                if atask.exception() is not None:
-                    if swallow_errors:
-                        continue
-                    if not wait_mode and (tstate == T_NEW).any():
-                        # first-slice burst still in flight: a never-run
-                        # lane may still complete and win the race (the
-                        # reference's done.pop() could pick it); hold the
-                        # error until the burst resolves
-                        pend["errors"][t] = atask.exception()
-                        pend["failed"].add(t)
-                        continue
-                snap, result_state, next_pc, cwrites = atask.result()
-                self._apply_delta(state, snap, result_state)
-                for l, v in cwrites.items():
-                    counters[l] = v
-                tpc[t] = next_pc
-                tstate[t] = T_READY
-                got = True
-            return got
-
-        spawn_new_lane_tasks()
-        await asyncio.sleep(0)  # one loop pass: synchronous prefixes run
-
-        if drain:
-            # effects of ops that completed without suspending are kept
-            # (reference: the raced coroutine ran to that point before the
-            # cancel landed); everything still pending is cancelled, and
-            # loser exceptions are discarded like the reference's
-            # return_exceptions=True sweep
-            collect_done(swallow_errors=True)
-            await self._cancel_pending(i)
+        res = await self._lanering.service(rt, self._gid(i), view)
+        if res == "parked":
+            return st
+        state, counters = view["state"], view["counters"]
+        if res == "complete":
             fresh = encode_instance(
                 state["inserts"], self.cfg, output=state["output"],
                 pc=int(st.par_join), counters=counters,
@@ -480,54 +336,16 @@ class DeviceRunner:
             return fresh._replace(
                 status=jnp.int32(RUNNING),
                 par_epoch=st.par_epoch + 1)
-
-        resumed = collect_done()
-        for t in waiting():
-            if int(tpark_kind[t]) != PARK_AWAIT_INSERT:
-                continue
-            pc = int(tpark_arg[t])
-            task = self.compiled.source_tasks[pc]
-            if task is not None and \
-                    self._await_insert_ready(task, state["inserts"]):
-                tstate[t] = T_READY
-                tpc[t] = pc + 1
-                resumed = True
-        runnable = (tstate == T_READY) | (tstate == T_NEW)
-        if not resumed and not runnable.any():
-            if pend["errors"]:
-                # the burst resolved with no clean winner — the raised
-                # lane IS the race's first-completed (reference: await
-                # first_task raises)
-                errs = pend["errors"]
-                await self._cancel_pending(i)
-                raise errs[min(errs)]
-            if pend["tasks"]:
-                await asyncio.wait(pend["tasks"].values(),
-                                   return_when=asyncio.FIRST_COMPLETED)
-                collect_done()
-                runnable = (tstate == T_READY) | (tstate == T_NEW)
-            else:
-                self._pending.pop(i, None)
-                return st  # only await_insert lanes, none ready yet
-        if not pend["tasks"] and not pend["errors"] and not pend["failed"]:
-            self._pending.pop(i, None)
-        if not runnable.any():
-            return st
-        # the just-parked lane continues if its IO completed synchronously;
-        # otherwise the next runnable lane in cyclic order runs
-        if cur >= 0 and tstate[cur] == T_READY:
-            nxt = cur
-        else:
-            order = [(max(cur, -1) + 1 + k) % len(tstate)
-                     for k in range(len(tstate))]
-            nxt = next(t for t in order if runnable[t])
+        nxt = view["cur"]
         fresh = encode_instance(state["inserts"], self.cfg,
-                                output=state["output"], pc=int(tpc[nxt]),
+                                output=state["output"],
+                                pc=int(view["tpc"][nxt]),
                                 counters=counters,
                                 rng=int(st.rng), steps=int(st.steps) + 1)
         return fresh._replace(
             status=jnp.int32(RUNNING),
-            tpc=jnp.asarray(tpc), tstate=jnp.asarray(tstate),
+            tpc=jnp.asarray(view["tpc"]),
+            tstate=jnp.asarray(view["tstate"]),
             tpark_kind=st.tpark_kind, tpark_arg=st.tpark_arg,
             cur_tid=jnp.int32(nxt), par_mode=st.par_mode,
             par_join=st.par_join, par_epoch=st.par_epoch)
@@ -560,15 +378,22 @@ class DeviceRunner:
             batch = self._jitted(batch, inner_steps)
             status = np.asarray(batch.status)
             self.total_device_steps += inner_steps
-            if self._pending:
+            if self._lanering.pending:
                 # cancel host IO of finished parallel blocks (a race won on
                 # device bumps par_epoch; the losers' chat/user_input must be
                 # cancelled — reference: pending.cancel() after FIRST_COMPLETED)
                 epochs = np.asarray(batch.par_epoch)
-                for i in list(self._pending):
-                    if int(epochs[i]) != self._pending[i]["epoch"] or \
-                            status[i] not in (RUNNING, PARKED):
-                        await self._cancel_pending(i)
+                n_rows = len(status)
+                for gid in list(self._lanering.pending):
+                    row = self._row_of(gid, n_rows)
+                    if row is None:
+                        continue  # owned by a sibling engine
+                    pend = self._lanering.pending.get(gid)
+                    if pend is None:
+                        continue
+                    if int(epochs[row]) != pend["epoch"] or \
+                            status[row] not in (RUNNING, PARKED):
+                        await self._cancel_pending(gid)
             parked = np.nonzero(status == PARKED)[0]
             if len(parked) == 0:
                 if not (status == RUNNING).any():
@@ -627,8 +452,10 @@ class DeviceRunner:
                 await asyncio.sleep(0.05)
             else:
                 stalled_rounds = 0
-        for i in list(self._pending):
-            await self._cancel_pending(i)
+        n_rows = int(np.asarray(batch.status).shape[0])
+        for gid in list(self._lanering.pending):
+            if self._row_of(gid, n_rows) is not None:
+                await self._cancel_pending(gid)
         s = self.ring_stats
         EVENTS.emit(VM_STATS, rounds=s["rounds"], parks=s["parks"],
                     capacity_parks=s["capacity_parks"],

@@ -1,0 +1,386 @@
+"""Parallel-block lane servicing, shared by the general and turbo engines.
+
+The device twin of one asyncio event-loop pass (reference:
+``asyncio.gather`` / ``asyncio.wait(FIRST_COMPLETED)`` over subtask
+coroutines sharing one state, interpolation_engine.py:1581-1626): an
+instance parked inside a parallel block has per-lane pc/state registers;
+this module services the *waiting lanes* on the host — persistent asyncio
+tasks per lane, last-write-wins delta merge at completion, drain-mode
+cancellation parity — and tells the engine which lane runs next (or that
+the block completed). Both engines adapt their row formats to the plain
+``view`` dict this module mutates, so the subtle race semantics live in
+exactly one place (VERDICT r3 next #1: turbo lane parks must ride the
+ring, not escape to per-instance runners).
+
+The view dict fields:
+  tstate, tpc, tpark_kind, tpark_arg : np.int32 arrays (>= lane count)
+  counters                           : np.int32 array (loop counters)
+  state                              : {"inserts": dict, "output": str}
+  cur, par_mode, par_join, par_epoch : ints
+
+``service`` returns "parked" (nothing changed), "resume" (view.cur is the
+next lane to run on device at view.tpc[cur]), or "complete" (the block
+finished; resume at par_join with lanes cleared and par_epoch bumped).
+"""
+
+from __future__ import annotations
+
+import asyncio
+
+import numpy as np
+
+from ..core.events import EVENTS, VM_PARK
+from ..core.executor import Runtime, execute_task
+from ..core.interp import InterpolationException
+from .config import PARK_AWAIT_INSERT, T_NEW, T_READY, T_WAIT
+
+
+def await_insert_ready(task, inserts) -> bool:
+    """Non-blocking await_insert check: does the (interpolated) key exist?
+    Mirrors the reference's poll loop without sleeping."""
+    from ..core.context import INSERT_START
+    from ..core.interp import get_simple_insertkey, interpolate_inserts
+    name = task.get("name")
+    try:
+        resolved = name
+        key = get_simple_insertkey(name)
+        if key or INSERT_START in str(name):
+            resolved = interpolate_inserts(inserts, name)
+    except InterpolationException:
+        resolved = None
+    return resolved is not None and resolved in inserts
+
+
+class LaneRing:
+    """Host IO pending-map + lane scheduler for one compiled program.
+
+    One instance per engine run scope; keyed by global instance index.
+    Sharing one LaneRing between an engine and its escape/promotion
+    sibling lets in-flight lane IO (a pending chat, a blocked user_input)
+    survive the instance's migration instead of being restarted.
+    """
+
+    def __init__(self, compiled):
+        self.compiled = compiled
+        # i -> {"epoch": par_epoch when created, "tasks": {lane: Task},
+        #       "errors": {lane: exc}, "failed": set(lanes)}
+        self.pending: dict = {}
+
+    # ---- single parked-task execution (also used for top-level parks) ----
+
+    def for_head_park(self, pc: int):
+        """(exit_pc, loop_id) when pc is an OP_FOR_HEAD — a park there
+        makes the host run the WHOLE remaining loop, so the device must
+        resume at the loop exit with the counter reset, and the host needs
+        the current counter as a resume cursor (executor.py:413-423)."""
+        from . import isa as _isa
+        row = self.compiled.code[pc]
+        if int(row[0]) == _isa.OP_FOR_HEAD:
+            base = int(row[1])
+            return (int(self.compiled.aux[base + 1]),
+                    int(self.compiled.aux[base]))
+        return None, None
+
+    async def exec_parked(self, rt: Runtime, state: dict, pc: int,
+                          task: dict, i: int, kind: int,
+                          counters=None, engine: str = "",
+                          emit_event: bool = True) -> int:
+        """Execute one parked task on the host against ``state``; return
+        the next pc (goto results resolved through the parked pc's scope)."""
+        exit_pc, loop_id = self.for_head_park(pc)
+        if exit_pc is not None and counters is not None:
+            c = int(counters[loop_id])
+            if c >= 1:
+                # mid-loop head park: hand the host the reference-format
+                # cursor so it resumes at iteration c, not from scratch
+                label = task.get("traceback_label", "?")
+                state[f"order_index/{label}/counter"] = c
+        # device-side prints only touched the instance's output buffer;
+        # sync the IO backend so agent payloads carry the current screen
+        backend = getattr(rt.io, "backend", None)
+        if backend is not None and hasattr(backend, "output_text"):
+            backend.output_text = state["output"]
+        if emit_event and engine:
+            EVENTS.emit(VM_PARK, label=task.get("traceback_label", "?"),
+                        instance=i, pc=pc, park_kind=kind, engine=engine)
+        elif emit_event:
+            EVENTS.emit(VM_PARK, label=task.get("traceback_label", "?"),
+                        instance=i, pc=pc, park_kind=kind)
+        result = await execute_task(rt, state, task,
+                                    task.get("traceback_label", "?"))
+        if result is None:
+            if exit_pc is not None:
+                if counters is not None:
+                    counters[loop_id] = 0  # the host completed the loop
+                return exit_pc
+            return pc + 1
+        if isinstance(result, dict) and "goto_target" in result:
+            target = result["goto_target"]
+            scope = self.compiled.scope_of[pc]
+            if target == "CONTINUE":
+                return pc + 1
+            key = (scope, target)
+            if key not in self.compiled.label_names:
+                raise ValueError(
+                    f"goto target '{target}' not found in scope")
+            return self.compiled.label_names[key]
+        raise RuntimeError(f"unexpected task result: {result}")
+
+    # ---- lane IO tasks ----------------------------------------------------
+
+    async def _run_lane_task(self, rt: Runtime, i: int, pc: int,
+                             task: dict, kind: int, state: dict,
+                             counters=None, engine: str = ""):
+        """One waiting lane's host IO, on its own copy of the instance
+        state (the write-back happens at completion — exactly when the
+        reference's await resolves and its coroutine's writes land).
+        Loop-counter mutations (a for-head park whose whole loop ran on
+        host) come back as an explicit write-set for conflict-free merge."""
+        snap = {"inserts": dict(state["inserts"]), "output": state["output"]}
+        c0 = None if counters is None else np.asarray(counters).copy()
+        next_pc = await self.exec_parked(rt, state, pc, task, i, kind, c0,
+                                         engine)
+        counter_writes = {}
+        if c0 is not None:
+            counter_writes = {l: int(v) for l, v in enumerate(c0)
+                              if int(v) != int(counters[l])}
+        return snap, state, next_pc, counter_writes
+
+    @staticmethod
+    def apply_delta(cur: dict, snap: dict, result: dict) -> None:
+        """Merge one completed lane's state writes into the live state
+        (last-write-wins at completion time, like asyncio)."""
+        for k, v in result["inserts"].items():
+            if k not in snap["inserts"] or snap["inserts"][k] != v:
+                cur["inserts"][k] = v
+        for k in snap["inserts"]:
+            if k not in result["inserts"]:
+                cur["inserts"].pop(k, None)
+        out, old = result["output"], snap["output"]
+        if out.startswith(old):
+            cur["output"] += out[len(old):]
+        elif out != old:
+            cur["output"] = out
+
+    def _run_until_yield(self, rt: Runtime, i: int, state: dict,
+                         pc: int, counters, engine: str = "") -> None:
+        """Drain-mode continuation: execute the lane's remaining leaf
+        tasks against the live state until the lane body ends
+        (OP_THREAD_END) or a task truly suspends — each coroutine is
+        driven with send(None), so a suspension is exactly an asyncio
+        yield point, where the reference's cancellation would land
+        (the suspended coroutine is closed, keeping its pre-yield
+        effects, like CancelledError thrown at that await)."""
+        from . import isa as _isa
+        code = self.compiled.code
+        steps_left = 1_000_000
+        while 0 <= pc < len(code):
+            if steps_left <= 0:
+                # a lane spinning without a yield would hang the
+                # reference's event loop the same way; fail loudly
+                # instead of silently truncating (exact-or-error)
+                raise RuntimeError(
+                    "drain continuation exceeded 1,000,000 steps without "
+                    "yielding; the raced lane appears not to terminate")
+            steps_left -= 1
+            op = int(code[pc][0])
+            if op in (_isa.OP_THREAD_END, _isa.OP_HALT):
+                return
+            if op == _isa.OP_FOR_NEXT:
+                # iteration boundary: counter++ and re-enter the head
+                # (executing its source task would restart the loop)
+                loop_id = int(code[pc][2])
+                if counters is not None and loop_id < len(counters):
+                    counters[loop_id] += 1
+                pc = int(code[pc][1])
+                continue
+            task = self.compiled.source_tasks[pc]
+            if task is None:
+                pc += 1
+                continue
+            coro = self.exec_parked(rt, state, pc, task, i, 0,
+                                    counters, engine, emit_event=False)
+            try:
+                coro.send(None)
+            except StopIteration as si:
+                pc = si.value
+                continue
+            coro.close()  # suspended: cancellation lands here
+            return
+
+    async def cancel(self, i: int) -> None:
+        pend = self.pending.pop(i, None)
+        if not pend:
+            return
+        for t in pend["tasks"].values():
+            t.cancel()
+        await asyncio.gather(*pend["tasks"].values(), return_exceptions=True)
+
+    async def cancel_all(self) -> None:
+        for i in list(self.pending):
+            await self.cancel(i)
+
+    async def sweep(self, epochs, statuses, live_statuses=(0, 2)) -> None:
+        """Cancel host IO of finished parallel blocks (a race won on device
+        bumps par_epoch; the losers' chat/user_input must be cancelled —
+        reference: pending.cancel() after FIRST_COMPLETED)."""
+        for i in list(self.pending):
+            if int(epochs[i]) != self.pending[i]["epoch"] or \
+                    int(statuses[i]) not in live_statuses:
+                await self.cancel(i)
+
+    # ---- the event-loop pass ------------------------------------------------
+
+    async def service(self, rt: Runtime, i: int, view: dict,
+                      engine: str = "") -> str:
+        """Service an instance parked inside a parallel block.
+
+        Every waiting lane holds a persistent asyncio task (surviving
+        across rounds, so a pending chat/user_input is never restarted);
+        new lane tasks get one loop tick so their synchronous prefix runs.
+        Resume priority mirrors the event loop: the lane that just parked
+        continues if its IO completed without suspending (a non-yielding
+        await is invisible in the reference), else queued completions /
+        never-run lanes, else block until the first pending completion.
+        par_mode==3 (drain): a finished race's never-run lanes just got
+        their first slice on device; give their host ops one tick, then
+        cancel everything and leave the block — asyncio.wait cancellation
+        parity.
+        """
+        tstate = view["tstate"]
+        tpc = view["tpc"]
+        tpark_kind = view["tpark_kind"]
+        tpark_arg = view["tpark_arg"]
+        counters = view["counters"]
+        state = view["state"]
+        epoch = int(view["par_epoch"])
+        cur = int(view["cur"])
+        drain = int(view["par_mode"]) == 3
+        wait_mode = int(view["par_mode"]) == 1
+        pend = self.pending.get(i)
+        if pend is not None and pend["epoch"] != epoch:
+            await self.cancel(i)
+            pend = None
+        if pend is None:
+            pend = self.pending[i] = {"epoch": epoch, "tasks": {},
+                                      "errors": {}, "failed": set()}
+
+        def waiting():
+            return [int(t) for t in np.nonzero(tstate == T_WAIT)[0]]
+
+        def spawn_new_lane_tasks():
+            for t in waiting():
+                if int(tpark_kind[t]) == PARK_AWAIT_INSERT or \
+                        t in pend["tasks"] or t in pend["failed"]:
+                    continue
+                pc = int(tpark_arg[t])
+                task = self.compiled.source_tasks[pc]
+                if task is None:
+                    raise RuntimeError(f"instance {i} lane {t}: parked at "
+                                       f"pc={pc} with no source task")
+                lane_state = {"inserts": dict(state["inserts"]),
+                              "output": state["output"]}
+                pend["tasks"][t] = asyncio.create_task(
+                    self._run_lane_task(rt, i, pc, task,
+                                        int(tpark_kind[t]), lane_state,
+                                        counters, engine))
+
+        def collect_done(swallow_errors: bool = False) -> bool:
+            """Fold completed lane tasks into the live state.
+
+            Exceptions: wait mode propagates (asyncio.gather). Race mode
+            HOLDS them — the reference's wait(FIRST_COMPLETED)+done.pop()
+            is nondeterministic when a raise and a clean completion land
+            in the same slice burst; we deterministically let a clean
+            winner win (discarding losers' errors like its
+            return_exceptions=True sweep) and propagate only when no lane
+            can still complete. Drain mode swallows outright (the race
+            already has a winner).
+            """
+            got = False
+            for t, atask in sorted(pend["tasks"].items()):
+                if not atask.done():
+                    continue
+                del pend["tasks"][t]
+                if atask.exception() is not None:
+                    if swallow_errors:
+                        continue
+                    if not wait_mode and (tstate == T_NEW).any():
+                        # first-slice burst still in flight: a never-run
+                        # lane may still complete and win the race (the
+                        # reference's done.pop() could pick it); hold the
+                        # error until the burst resolves
+                        pend["errors"][t] = atask.exception()
+                        pend["failed"].add(t)
+                        continue
+                snap, result_state, next_pc, cwrites = atask.result()
+                self.apply_delta(state, snap, result_state)
+                for l, v in cwrites.items():
+                    counters[l] = v
+                tpc[t] = next_pc
+                tstate[t] = T_READY
+                got = True
+            return got
+
+        spawn_new_lane_tasks()
+        await asyncio.sleep(0)  # one loop pass: synchronous prefixes run
+
+        if drain:
+            # effects of ops that completed without suspending are kept
+            # (reference: the raced coroutine ran to that point before the
+            # cancel landed); a completed lane then CONTINUES synchronously
+            # until its next true suspension — asyncio's cancel lands at
+            # the next yield point, so a loser whose IO resolved runs its
+            # non-yielding continuation (prints, sets) before dying.
+            # Everything still pending is cancelled, and loser exceptions
+            # are discarded like the reference's return_exceptions=True
+            # sweep.
+            collect_done(swallow_errors=True)
+            for t in np.nonzero(tstate == T_READY)[0]:
+                self._run_until_yield(rt, i, state, int(tpc[int(t)]),
+                                      counters, engine)
+            await self.cancel(i)
+            return "complete"
+
+        resumed = collect_done()
+        for t in waiting():
+            if int(tpark_kind[t]) != PARK_AWAIT_INSERT:
+                continue
+            pc = int(tpark_arg[t])
+            task = self.compiled.source_tasks[pc]
+            if task is not None and \
+                    await_insert_ready(task, state["inserts"]):
+                tstate[t] = T_READY
+                tpc[t] = pc + 1
+                resumed = True
+        runnable = (tstate == T_READY) | (tstate == T_NEW)
+        if not resumed and not runnable.any():
+            if pend["errors"]:
+                # the burst resolved with no clean winner — the raised
+                # lane IS the race's first-completed (reference: await
+                # first_task raises)
+                errs = pend["errors"]
+                await self.cancel(i)
+                raise errs[min(errs)]
+            if pend["tasks"]:
+                await asyncio.wait(pend["tasks"].values(),
+                                   return_when=asyncio.FIRST_COMPLETED)
+                collect_done()
+                runnable = (tstate == T_READY) | (tstate == T_NEW)
+            else:
+                self.pending.pop(i, None)
+                return "parked"  # only await_insert lanes, none ready yet
+        if not pend["tasks"] and not pend["errors"] and not pend["failed"]:
+            self.pending.pop(i, None)
+        if not runnable.any():
+            return "parked"
+        # the just-parked lane continues if its IO completed synchronously;
+        # otherwise the next runnable lane in cyclic order runs
+        if cur >= 0 and tstate[cur] == T_READY:
+            nxt = cur
+        else:
+            order = [(max(cur, -1) + 1 + k) % len(tstate)
+                     for k in range(len(tstate))]
+            nxt = next(t for t in order if runnable[t])
+        view["cur"] = int(nxt)
+        return "resume"

@@ -93,9 +93,10 @@ def test_device_text_adventure_two_turns(tmp_path, capsys, mode):
 
 def test_turbo_text_adventure_two_turns(tmp_path, capsys):
     """The flagship program on the TURBO engine end-to-end: compute in the
-    mega-kernel until the race block's blocking lanes park, escape to the
-    general engine's exact lane ring, and reproduce the host-engine turn
-    transcript. Eligibility alone (test_turbo.py) doesn't prove the run."""
+    mega-kernel until the race block's blocking lanes park, service the
+    lanes through the TURBO ring (no escape — the instance stays batched),
+    and reproduce the host-engine turn transcript. Eligibility alone
+    (test_turbo.py) doesn't prove the run."""
     from interpolation_engine_tpu.vm.turbo import TurboConfig, TurboEngine
 
     counter = {"n": 0}
@@ -133,12 +134,12 @@ def test_turbo_text_adventure_two_turns(tmp_path, capsys):
                 await task
             except asyncio.CancelledError:
                 pass
-            for t in engine._escape_tasks.values():
-                t.cancel()
-                try:
-                    await t
-                except (asyncio.CancelledError, Exception):
-                    pass
+            await engine._lanering.cancel_all()
+            # round-4 contract: mid-race blocking IO stays ON turbo —
+            # zero migrations off the batched path
+            assert not engine._escape_results
+            assert not engine._promote_states
+            assert not engine._escape_states
             return backend
 
     backend = asyncio.run(go())

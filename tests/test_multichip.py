@@ -126,3 +126,74 @@ def test_turbo_sharded_step_bit_identical():
                           jax.device_get(ref)):
         assert np.array_equal(np.asarray(a), np.asarray(b)), name
     assert len({s.device for s in sharded.regs.addressable_shards}) == 8
+
+
+@pytest.mark.slow
+def test_turbo_sharded_ring_run_matches_unsharded(capsys):
+    """The turbo engine's FULL driver loop on a sharded batch (VERDICT r3
+    next #5): park/resume cycles through both ring paths — the vectorized
+    fast path (literal-prompt user_input) and the exact slow path
+    (interpolated prompt) — plus an output spill, must be byte-identical
+    to the unsharded run, with the batch actually spread over 8 devices."""
+    from interpolation_engine_tpu.vm.turbo import TurboConfig, TurboEngine
+
+    src = """
+    {
+        default_state: {order_index: 1, inserts: {i: 0, who: 'w'}},
+        order: [
+            {cmd:'label', name:'@loop'},
+            {cmd:'math', input:'{i} + 1', output_name:'i'},
+            {cmd:'print', text:'line {i} of text;'},
+            {cmd:'goto_map', text:'{i}', target_maps:[
+                {'4': '@ask'}, {'*': '@loop'}]},
+            {cmd:'label', name:'@ask'},
+            {cmd:'user_input', prompt:'fast? ', output_name:'a'},
+            {cmd:'user_input', prompt:'slow {who}? ', output_name:'b'},
+            {cmd:'parallel_race', tasks:[
+                {cmd:'serial', tasks:[
+                    {cmd:'set', item:'g-{i}', output_name:'gen'},
+                ]},
+                {cmd:'serial', tasks:[
+                    {cmd:'user_input', prompt:'> ', output_name:'c'},
+                ]},
+            ]},
+            {cmd:'print', text:'a={a} b={b} c={c} gen={gen}'},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """
+    # out_width small enough that the prints spill through the ring
+    tcfg = TurboConfig(tile=4, width=64, out_width=48, k_steps=16)
+    N = 64
+
+    def mk(mesh=None):
+        compiled = compile_src(src)
+        return TurboEngine(
+            compiled, tcfg, mesh=mesh,
+            io_factory=lambda i: IOManager(
+                ScriptedBackend([f"A{i}", f"B{i}", f"C{i}"])))
+
+    ref_eng = mk()
+    ref = ref_eng.run(ref_eng.make_batch(N), max_rounds=300)
+
+    mesh = make_mesh(8)
+    eng = mk(mesh)
+    batch = eng.make_batch(N)
+    assert len({s.device for s in batch.regs.addressable_shards}) == 8
+    final = eng.run(batch, max_rounds=300)
+    capsys.readouterr()
+
+    assert eng.ring_stats["fast_parks"] > 0          # fast path exercised
+    assert eng.ring_stats["parks"] > eng.ring_stats["fast_parks"]  # slow too
+    assert not eng._escape_results
+
+    for name, a, b in zip(("regs", "sbuf", "out"), jax.device_get(final),
+                          jax.device_get(ref)):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+    rs = eng.results(final, N)
+    ref_rs = ref_eng.results(ref, N)
+    for i in (0, 1, 7, N // 2, N - 1):
+        assert rs[i].status == DONE
+        assert rs[i].output == ref_rs[i].output
+        assert rs[i].inserts == ref_rs[i].inserts
+        assert f"a=A{i} b=B{i} c=C{i}" in rs[i].output

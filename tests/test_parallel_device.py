@@ -109,7 +109,7 @@ def test_parallel_race_cancels_blocked_lane(tmp_path, capsys):
     assert r.status == DONE
     assert r.output == host_out == "got go;after"
     assert r.inserts == host_ins
-    assert not runner._pending  # the user_choice coroutine was cancelled
+    assert not runner._lanering.pending  # user_choice coroutine cancelled
 
 
 AWAIT_SRC = """

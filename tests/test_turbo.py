@@ -153,8 +153,9 @@ def test_user_input_parks_and_resumes(tmp_path, capsys):
 
 
 def test_long_user_input_finishes_on_host(tmp_path, capsys):
-    """A resumed value that exceeds the slot byte width must retire the
-    lane to exact host execution, not truncate."""
+    """A resumed value that exceeds the slot byte width must migrate the
+    instance (wide-sibling promotion / batched general escape — round 4),
+    never truncate."""
     long = "x" * 500  # > TCFG.width
     src = """
     {
@@ -849,10 +850,12 @@ def test_turbo_parallel_compute_lanes(tmp_path, capsys, mode):
         assert r.inserts == dict(host["inserts"])
 
 
-def test_turbo_parallel_park_escapes_to_general(tmp_path, capsys):
-    """A lane that parks inside a parallel block (user_input in a race)
-    escapes the instance to the general engine's asyncio-twin ring — the
-    final output must equal the host run byte-for-byte."""
+def test_turbo_parallel_park_stays_on_turbo(tmp_path, capsys):
+    """A lane that parks inside a parallel block (user_input in a race) is
+    serviced lane-by-lane THROUGH THE TURBO RING and resumes on device —
+    the instance never migrates off the batched path (VERDICT r3 next #1;
+    round 3 escaped it to a per-instance general runner). Output and
+    inserts must equal the host run byte-for-byte."""
     src = """
     {
         default_state: {order_index: 1, inserts: {}},
@@ -879,8 +882,59 @@ def test_turbo_parallel_park_escapes_to_general(tmp_path, capsys):
         io_factory=lambda i: IOManager(ScriptedBackend(["zed"])))
     batch = engine.run(engine.make_batch(3), max_rounds=300)
     results = engine.results(batch)
-    assert len(engine._escape_results) == 3   # every instance escaped
+    assert not engine._escape_results   # zero migrations
+    assert not engine._lanering.pending
     for r in results:
+        assert r.status == DONE
+        assert r.output == host["output"]
+        assert r.inserts == dict(host["inserts"])
+
+
+@pytest.mark.parametrize("mode", ["wait", "race"])
+def test_turbo_midblock_lane_parks_differential(tmp_path, capsys, mode):
+    """Cross-engine differential for mid-block lane parks that STAY on
+    turbo (VERDICT r3 next #1): blocking user_input inside parallel_wait /
+    parallel_race, with a compute sibling lane, must match the host
+    engine's asyncio scheduling byte-for-byte on output AND inserts, with
+    zero migrations."""
+    src = """
+    {
+        default_state: {order_index: 1, inserts: {turn: 0}},
+        order: [
+            {cmd:'label', name:'@loop'},
+            {cmd:'math', input:'{turn} + 1', output_name:'turn'},
+            {cmd:'parallel_%s', tasks:[
+                {cmd:'serial', tasks:[
+                    {cmd:'set', item:'gen-{turn}', output_name:'gen'},
+                    {cmd:'print', text:'[{gen}]'},
+                ]},
+                {cmd:'serial', tasks:[
+                    {cmd:'user_input', prompt:'t{turn}? ',
+                     output_name:'ans'},
+                    {cmd:'print', text:'<{ans}>'},
+                ]},
+            ]},
+            {cmd:'goto_map', text:'{turn}', target_maps:[
+                {'3': '@end'}, {'*': '@loop'}]},
+            {cmd:'label', name:'@end'},
+            {cmd:'print', text:'fin {gen} {ans}'},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """ % mode
+    responses = ["one", "two", "three"]
+    host = run_host(src, tmp_path, responses=responses)
+    capsys.readouterr()
+    compiled = compile_src(src)
+    engine = TurboEngine(
+        compiled, TCFG,
+        io_factory=lambda i: IOManager(ScriptedBackend(list(responses))))
+    batch = engine.run(engine.make_batch(3), max_rounds=500)
+    results = engine.results(batch)
+    assert not engine._escape_results
+    assert not engine._promote_states and not engine._escape_states
+    for r in results:
+        assert r.status == DONE
         assert r.output == host["output"]
         assert r.inserts == dict(host["inserts"])
 
@@ -1282,11 +1336,10 @@ SPILL_ESCAPE_SRC = """
 """
 
 
-def test_output_spill_survives_parallel_escape(tmp_path, capsys):
-    """A park inside a parallel block AFTER the output spilled: the escape
-    to the general engine must carry the full (spilled) output even though
-    it exceeds the static escape out_size — the escape VMConfig grows to
-    fit (power-of-two bucketed)."""
+def test_output_spill_survives_parallel_park(tmp_path, capsys):
+    """A park inside a parallel block AFTER the output spilled: the lane
+    rides the turbo ring (no escape since round 4) and the spilled output
+    survives the in-block write-backs byte-exact."""
     tiny = TurboConfig(tile=8, width=64, out_width=24, k_steps=16)
     host = run_host(SPILL_ESCAPE_SRC, tmp_path, responses=["go"])
     capsys.readouterr()
@@ -1297,10 +1350,81 @@ def test_output_spill_survives_parallel_escape(tmp_path, capsys):
     batch = engine.run(engine.make_batch(2), max_rounds=500)
     results = engine.results(batch)
     capsys.readouterr()
-    assert engine._escape_results            # the race block escaped
+    assert not engine._escape_results        # stays batched on turbo
     for r in results:
         assert r.status == DONE
         assert r.output == host["output"]
+
+
+def test_wide_value_promotes_to_wider_sibling(tmp_path, capsys):
+    """A 600 B chat-sized write-back that overflows the narrow slot width
+    PROMOTES the instance into one wider sibling batch instead of retiring
+    it to single-instance host execution (VERDICT r3 next #2) — and the
+    final output/inserts still match the host byte-for-byte."""
+    src = """
+    {
+        default_state: {order_index: 1, inserts: {pre: 'p'}},
+        order: [
+            {cmd:'set', item:'{pre}-x', output_name:'tag'},
+            {cmd:'user_input', prompt:'say? ', output_name:'big'},
+            {cmd:'set', item:'tail:{tag}', output_name:'t2'},
+            {cmd:'print', text:'len done {t2};'},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """
+    big = "B" * 600   # chat-output-sized; >> width=64 AND >> 4*64 wide
+    host = run_host(src, tmp_path, responses=[big])
+    capsys.readouterr()
+    compiled = compile_src(src)
+
+    # width 64 → wide sibling 256 (too small for 600B) → general escape;
+    # width 192 → wide sibling 768 holds it: instance stays on TURBO
+    wide_tcfg = TurboConfig(tile=8, width=192, out_width=192, k_steps=24)
+    engine = TurboEngine(
+        compiled, wide_tcfg,
+        io_factory=lambda i: IOManager(ScriptedBackend([big])))
+    batch = engine.run(engine.make_batch(3), max_rounds=300)
+    results = engine.results(batch)
+    capsys.readouterr()
+    assert not engine._host_results          # no per-instance retirement
+    assert len(engine._escape_results) == 3  # migrated, batched
+    for r in results:
+        assert r.status == DONE
+        assert r.output == host["output"]
+        assert r.inserts == dict(host["inserts"])
+
+
+def test_monster_value_escapes_to_one_general_batch(tmp_path, capsys):
+    """A value too wide even for the promotion sibling lands in ONE shared
+    batched general-engine runner (never per-instance eager runners), with
+    exact results."""
+    src = """
+    {
+        default_state: {order_index: 1, inserts: {}},
+        order: [
+            {cmd:'user_input', prompt:'say? ', output_name:'big'},
+            {cmd:'set', item:'k', output_name:'t'},
+            {cmd:'print', text:'done {t};'},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """
+    big = "Z" * 600   # > 4*64 — overflows the wide sibling too
+    host = run_host(src, tmp_path, responses=[big])
+    capsys.readouterr()
+    compiled = compile_src(src)
+    engine = TurboEngine(
+        compiled, TCFG,
+        io_factory=lambda i: IOManager(ScriptedBackend([big])))
+    batch = engine.run(engine.make_batch(2), max_rounds=300)
+    results = engine.results(batch)
+    capsys.readouterr()
+    assert len(engine._escape_results) == 2
+    for r in results:
+        assert r.status == DONE
+        assert r.output == host["output"]
+        assert r.inserts == dict(host["inserts"])
 
 
 DELTA_SRC = """
@@ -1387,3 +1511,284 @@ def test_load_batch_dedup_exact(tmp_path, capsys):
         assert r.status == DONE
         assert r.output == want_out, (r.output, want_out)
         assert r.inserts == want_ins, (r.inserts, want_ins)
+
+
+PARKED_FREEZE_TOP = """
+{
+    default_state: {order_index: 1, inserts: {}},
+    order: [
+        {cmd:'print', text:'pre;'},
+        {cmd:'user_input', prompt:'x? ', output_name:'x'},
+        {cmd:'print', text:'{x}'},
+    ],
+    named_tasks: {}, save_states: {},
+}
+"""
+
+PARKED_FREEZE_PAR = """
+{
+    default_state: {order_index: 1, inserts: {}},
+    order: [
+        {cmd:'parallel_race', tasks:[
+            {cmd:'serial', tasks:[
+                {cmd:'set', item:'v', output_name:'side'},
+            ]},
+            {cmd:'serial', tasks:[
+                {cmd:'user_input', prompt:'x? ', output_name:'x'},
+                {cmd:'print', text:'{x}'},
+            ]},
+        ]},
+        {cmd:'print', text:'after'},
+    ],
+    named_tasks: {}, save_states: {},
+}
+"""
+
+
+@pytest.mark.parametrize("src", [PARKED_FREEZE_TOP, PARKED_FREEZE_PAR])
+def test_parked_rows_bit_identical_under_extra_step(src, capsys):
+    """ADVICE r3: the host/device ring overlap scatters serviced rows onto
+    a batch the device stepped once more, so its correctness rests on
+    PARKED rows (including rows parked inside a parallel block, where
+    _lane_yield touches lane registers) being bit-frozen by extra step()
+    calls. Pin the invariant."""
+    import numpy as np
+    compiled = compile_src(src)
+    engine = TurboEngine(compiled, TCFG)
+    batch = engine.make_batch(3)
+    step = engine.step_fn(batch.regs.shape[0])
+    b1 = step(batch)
+    from interpolation_engine_tpu.vm.config import PARKED
+    regs1 = np.asarray(b1.regs).copy()
+    sbuf1 = np.asarray(b1.sbuf).copy()
+    out1 = np.asarray(b1.out).copy()
+    assert (regs1[:3, 1] == PARKED).all()   # C_STATUS
+    b2 = step(b1)
+    assert (np.asarray(b2.regs) == regs1).all()
+    assert (np.asarray(b2.sbuf) == sbuf1).all()
+    assert (np.asarray(b2.out) == out1).all()
+
+
+def test_plan_fingerprint_shares_same_shape_programs(tmp_path, capsys):
+    """The AOT cache key is the PLAN SHAPE, not program content (VERDICT
+    r3 next #4): two programs differing only in same-length string-literal
+    bytes fingerprint identically, and one program's traced module runs
+    the other's literal table to that program's exact results — literal
+    bytes are a kernel INPUT. Structure changes and int-dispatch goto_map
+    key changes (baked as scalar compares) change the fingerprint."""
+    from interpolation_engine_tpu.compiler.turbo import plan_turbo
+    from interpolation_engine_tpu.vm.turbo import (build_step_fn,
+                                                   plan_fingerprint)
+
+    def mk(word, key, tagfmt, extra=""):
+        return """
+        {
+            default_state: {order_index: 1, inserts:
+                {i: 0, acc: 0, word: '%s'}},
+            order: [
+                {cmd:'label', name:'@loop'},
+                {cmd:'math', input:'{i} + 1', output_name:'i'},
+                {cmd:'set', item:'%s-{i}', output_name:'tag'},
+                {cmd:'math', input:'{acc} + {i} %% 7', output_name:'acc'},
+                {cmd:'goto_map', text:'{word}-{i}', target_maps:[
+                    {'%s': '@end'},
+                    {'*': '@loop'},
+                ]},
+                {cmd:'label', name:'@end'},
+                %s
+                {cmd:'print', text:'done acc={acc} tag={tag}'},
+            ],
+            named_tasks: {}, save_states: {},
+        }
+        """ % (word, tagfmt, key, extra)
+
+    src_a = mk("spin", "spin-12", "st")
+    src_b = mk("whir", "whir-12", "qq")    # same lengths, new bytes
+    src_c = mk("spin", "spin-12", "st",
+               extra="{cmd:'set', item:'x', output_name:'zz'},")
+
+    plans = {k: plan_turbo(compile_src(s))
+             for k, s in (("a", src_a), ("b", src_b), ("c", src_c))}
+    fp = {k: plan_fingerprint(p, TCFG) for k, p in plans.items()}
+    assert fp["a"] == fp["b"]
+    assert fp["a"] != fp["c"]
+
+    # int-dispatch goto_map keys are BAKED → must change the fingerprint
+    def mk_int(key):
+        return """
+        {
+            default_state: {order_index: 1, inserts: {i: 0}},
+            order: [
+                {cmd:'label', name:'@loop'},
+                {cmd:'math', input:'{i} + 1', output_name:'i'},
+                {cmd:'goto_map', text:'{i}', target_maps:[
+                    {'%s': '@end'}, {'*': '@loop'}]},
+                {cmd:'label', name:'@end'},
+            ],
+            named_tasks: {}, save_states: {},
+        }
+        """ % key
+    fp_12 = plan_fingerprint(plan_turbo(compile_src(mk_int("12"))), TCFG)
+    fp_99 = plan_fingerprint(plan_turbo(compile_src(mk_int("99"))), TCFG)
+    assert fp_12 != fp_99
+
+    # the real proof: program A's traced module, fed program B's literal
+    # table, computes program B's exact results
+    host_b = run_host(src_b, tmp_path)
+    capsys.readouterr()
+    step_a = build_step_fn(plans["a"], TCFG, 8, interpret=True)
+    step_b = build_step_fn(plans["b"], TCFG, 8, interpret=True)
+    eng_b = TurboEngine(compile_src(src_b), TCFG, plan=plans["b"])
+    batch_b = eng_b.make_batch(2)
+    for _ in range(8):
+        batch_b = step_a.jitted(step_b.lits, batch_b)
+    for r in eng_b.results(batch_b, 2):
+        assert r.status == DONE
+        assert r.output == host_b["output"]
+        assert r.inserts == dict(host_b["inserts"])
+
+
+# ---------------------------------------------------------------------------
+# vectorized fast park servicing (VERDICT r3 next #3)
+# ---------------------------------------------------------------------------
+
+FAST_RING_SRC = """
+{
+    default_state: {order_index: 1, inserts: {i: 0, acc: 0}},
+    order: [
+        {cmd:'label', name:'@loop'},
+        {cmd:'math', input:'{i} + 1', output_name:'i'},
+        {cmd:'user_input', prompt:'? ', output_name:'ans'},
+        {cmd:'math', input:'{acc} + {i}', output_name:'acc'},
+        {cmd:'goto_map', text:'{i}', target_maps:[
+            {'3': '@end'}, {'*': '@loop'}]},
+        {cmd:'label', name:'@end'},
+        {cmd:'print', text:'fin {acc} last={ans}'},
+    ],
+    named_tasks: {}, save_states: {},
+}
+"""
+
+
+def _fast_engine(src, responses_of, n=5, tcfg=None):
+    compiled = compile_src(src)
+    engine = TurboEngine(
+        compiled, tcfg or TCFG,
+        io_factory=lambda i: IOManager(ScriptedBackend(responses_of(i))))
+    batch = engine.run(engine.make_batch(n), max_rounds=500)
+    return engine, engine.results(batch)
+
+
+def test_fast_ring_top_level_differential(tmp_path, capsys, monkeypatch):
+    """Top-level literal-prompt user_input parks on a sync backend ride
+    the vectorized fast path (no per-row decode/executor/encode) and must
+    match BOTH the host run and the forced slow path byte-for-byte —
+    including per-instance varying responses (dedup correctness) and the
+    ScriptedBackend exchange transcript."""
+    def responses_of(i):
+        return [f"r{i}-a", "same", f"r{i}-c"]
+
+    hosts = {}
+    for i in (0, 1):
+        hosts[i] = run_host(FAST_RING_SRC, tmp_path,
+                            responses=responses_of(i))
+    capsys.readouterr()
+
+    engine, results = _fast_engine(FAST_RING_SRC, responses_of, n=5)
+    assert engine.ring_stats["fast_parks"] == 15   # 3 parks × 5 rows
+    capsys.readouterr()
+    for i, r in enumerate(results):
+        h = hosts[min(i, 1)]
+        want_out = h["output"].replace("r1-", f"r{i}-") if i > 1 else \
+            h["output"]
+        assert r.status == DONE
+        assert r.output == want_out
+    # exchange transcript parity (prompt text recorded per call)
+    sb = engine._ios[0].backend
+    assert [e["prompt"] for e in sb.exchanges] == ["? "] * 3
+
+    # forced slow path agrees with the fast path
+    monkeypatch.setenv("IE_TPU_FAST_RING", "0")
+    engine2, results2 = _fast_engine(FAST_RING_SRC, responses_of, n=5)
+    assert engine2.ring_stats["fast_parks"] == 0
+    capsys.readouterr()
+    for r, r2 in zip(results, results2):
+        assert r.output == r2.output
+        assert r.inserts == r2.inserts
+
+
+def test_fast_ring_drain_race_differential(tmp_path, capsys, monkeypatch):
+    """The race-io shape: a blocking user_input as its lane's LAST task
+    inside parallel_race, raced against a compute lane. The drain park is
+    serviced by the fast path (device-side block completion) and must
+    match the host AND the forced slow path byte-for-byte."""
+    src = """
+    {
+        default_state: {order_index: 1, inserts: {turn: 0}},
+        order: [
+            {cmd:'label', name:'@loop'},
+            {cmd:'math', input:'{turn} + 1', output_name:'turn'},
+            {cmd:'parallel_race', tasks:[
+                {cmd:'serial', tasks:[
+                    {cmd:'set', item:'gen-{turn}', output_name:'gen'},
+                    {cmd:'print', text:'[{gen}]'},
+                ]},
+                {cmd:'serial', tasks:[
+                    {cmd:'user_input', prompt:'> ', output_name:'cmdin'},
+                ]},
+            ]},
+            {cmd:'print', text:'<{cmdin}>'},
+            {cmd:'goto_map', text:'{turn}', target_maps:[
+                {'3': '@end'}, {'*': '@loop'}]},
+            {cmd:'label', name:'@end'},
+            {cmd:'print', text:'fin {gen}'},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """
+    responses = ["go", "north", "quit"]
+    host = run_host(src, tmp_path, responses=responses)
+    capsys.readouterr()
+    engine, results = _fast_engine(src, lambda i: list(responses), n=4)
+    assert engine.ring_stats["fast_parks"] == 12   # 3 races × 4 rows
+    assert not engine._escape_results
+    capsys.readouterr()
+    for r in results:
+        assert r.status == DONE
+        assert r.output == host["output"]
+        assert r.inserts == dict(host["inserts"])
+
+    monkeypatch.setenv("IE_TPU_FAST_RING", "0")
+    engine2, results2 = _fast_engine(src, lambda i: list(responses), n=4)
+    assert engine2.ring_stats["fast_parks"] == 0
+    capsys.readouterr()
+    for r, r2 in zip(results, results2):
+        assert r.output == r2.output
+        assert r.inserts == r2.inserts
+
+
+def test_fast_ring_overflow_promotes(tmp_path, capsys):
+    """A fast-serviced response too wide for the slot: the consumed
+    response is applied host-side and the instance promotes — exact
+    results, no per-instance runners."""
+    big = "Y" * 600
+    src = """
+    {
+        default_state: {order_index: 1, inserts: {}},
+        order: [
+            {cmd:'user_input', prompt:'? ', output_name:'v'},
+            {cmd:'set', item:'t', output_name:'tail'},
+            {cmd:'print', text:'done {tail}'},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """
+    host = run_host(src, tmp_path, responses=[big])
+    capsys.readouterr()
+    engine, results = _fast_engine(src, lambda i: [big], n=3)
+    assert len(engine._escape_results) == 3
+    capsys.readouterr()
+    for r in results:
+        assert r.status == DONE
+        assert r.output == host["output"]
+        assert r.inserts == dict(host["inserts"])
