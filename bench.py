@@ -64,6 +64,42 @@ BENCH_PROGRAM = """
 """
 
 
+# interpolation microbench (BENCH_WORKLOAD=interp): a tight loop whose
+# only real work is rendering multi-hole templates — bytes/sec through the
+# TURBO engine's in-kernel interpolation (the framework's actual
+# interpolation fast path; the slower standalone general kernel is probed
+# separately on stderr). Rendered bytes per loop iteration are counted
+# analytically below (INTERP_BYTES_PER_ITER / INTERP_TASKS_PER_ITER).
+INTERP_PROGRAM = """
+{
+    default_state: {order_index: 1, inserts:
+        {i: 0, who: 'traveler', place: 'the tower of dawn'}},
+    order: [
+        {cmd:'label', name:'@loop'},
+        {cmd:'math', input:'{i} + 1', output_name:'i'},
+        {cmd:'set', item:'You are {who} at {place} on turn {i}',
+         output_name:'line'},
+        {cmd:'set', item:'{line} -- and {who} studies {place} once more',
+         output_name:'line2'},
+        {cmd:'goto_map', text:'{i}', target_maps:[
+            {'1073741824': '@end'}, {'*': '@loop'}]},
+        {cmd:'label', name:'@end'},
+        {cmd:'print', text:'{line2}'},
+    ],
+    named_tasks: {}, save_states: {},
+}
+"""
+
+# rendered bytes per @loop iteration: set line = 46 literal bytes + d
+# digits of {i}; set line2 = (46+d) + 52 literal bytes. The goto_map is
+# int-dispatch (scalar compares, no byte render) and math is RPN (no
+# render). Steps per iteration: label(nop) + math + set + set + goto_map.
+# d ≈ 3 for the measured i range (8 rounds × 64 steps → i ≲ 150); the
+# approximation is <±2% of the byte count.
+INTERP_TASKS_PER_ITER = 5
+INTERP_BYTES_PER_ITER = (46 + 3) + (46 + 3 + 52)
+
+
 RING_PROGRAM = """
 {
     default_state: {order_index: 1, inserts: {i: 0, acc: 0, sel: 'spin'}},
@@ -259,6 +295,8 @@ def measure():
 
     if workload == "spine":
         src = BENCH_PROGRAM
+    elif workload == "interp":
+        src = INTERP_PROGRAM
     elif workload == "ring":
         src = RING_PROGRAM
     elif workload == "race-io":
@@ -310,10 +348,16 @@ def measure():
     print(f"# executed={executed} elapsed={elapsed:.3f}s "
           f"compile={compile_s:.1f}s platform={platform}", file=sys.stderr)
 
+    if workload == "interp":
+        bps = (executed / INTERP_TASKS_PER_ITER
+               * INTERP_BYTES_PER_ITER / elapsed)
+        print(f"# interpolation_bytes_per_sec_turbo={bps:.3e}",
+              file=sys.stderr)
+
     if os.environ.get("BENCH_INTERP", "1") != "0":
         try:
-            bps = _measure_interp_bytes(min(n_instances, 131_072))
-            print(f"# interpolation_bytes_per_sec={bps:.3e}",
+            bps = _measure_interp_bytes(min(n_instances, 32_768))
+            print(f"# interpolation_bytes_per_sec_general_kernel={bps:.3e}",
                   file=sys.stderr)
         except Exception as e:  # keep the headline metric robust
             print(f"# interpolation bytes/sec probe failed: {e!r}",
@@ -357,7 +401,7 @@ def _measure_interp_bytes(n_instances: int) -> float:
     lens = jax.block_until_ready(rendered_lengths(batch))  # compile+warm
     per_pass = int(np.asarray(lens, np.int64).sum())
     assert per_pass > 0
-    iters = int(os.environ.get("BENCH_INTERP_ITERS", 10))
+    iters = int(os.environ.get("BENCH_INTERP_ITERS", 3))
     t0 = time.perf_counter()
     for _ in range(iters):
         lens = rendered_lengths(batch)
@@ -456,6 +500,11 @@ def _measure_ring(compiled, n_instances, rounds):
     frac = float(os.environ.get("BENCH_RING_FRAC", 0.10))
 
     class CannedBackend(BufferBackend):
+        sync_io = True
+
+        def user_input_sync(self, prompt, default=""):
+            return "ok"
+
         async def user_input(self, prompt, default=""):
             return "ok"
 
@@ -491,6 +540,7 @@ def _measure_ring(compiled, n_instances, rounds):
     steps1 = int(np.asarray(batch.regs[:, 2]).sum())
     rs = eng.ring_stats
     print(f"# ring: rounds={rs['rounds']} parks={rs['parks']} "
+          f"fast={rs['fast_parks']} "
           f"ring_ms={rs['ring_ms']:.1f} "
           f"ring_share={rs['ring_ms'] / max(elapsed * 1e3, 1e-9):.3f}",
           file=sys.stderr)

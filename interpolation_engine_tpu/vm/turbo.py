@@ -1933,7 +1933,10 @@ def build_sharded_step_fn(plan: TurboPlan, tcfg: TurboConfig, n: int,
     pallas_call on its local n/ndev instance shard; shardings round-trip
     so repeated steps never reshuffle instances across chips."""
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
     ndev = mesh.devices.size
     if n % ndev:
@@ -1945,7 +1948,7 @@ def build_sharded_step_fn(plan: TurboPlan, tcfg: TurboConfig, n: int,
     sharded = shard_map(
         lambda regs, sbuf, out: tuple(local(TurboBatch(regs, sbuf, out))),
         mesh=mesh, in_specs=state_specs, out_specs=state_specs,
-        check_rep=False)
+        check_vma=False)
 
     @jax.jit
     def step_batch(batch: TurboBatch) -> TurboBatch:
