@@ -162,52 +162,6 @@ class LaneRing:
         elif out != old:
             cur["output"] = out
 
-    def _run_until_yield(self, rt: Runtime, i: int, state: dict,
-                         pc: int, counters, engine: str = "") -> None:
-        """Drain-mode continuation: execute the lane's remaining leaf
-        tasks against the live state until the lane body ends
-        (OP_THREAD_END) or a task truly suspends — each coroutine is
-        driven with send(None), so a suspension is exactly an asyncio
-        yield point, where the reference's cancellation would land
-        (the suspended coroutine is closed, keeping its pre-yield
-        effects, like CancelledError thrown at that await)."""
-        from . import isa as _isa
-        code = self.compiled.code
-        steps_left = 1_000_000
-        while 0 <= pc < len(code):
-            if steps_left <= 0:
-                # a lane spinning without a yield would hang the
-                # reference's event loop the same way; fail loudly
-                # instead of silently truncating (exact-or-error)
-                raise RuntimeError(
-                    "drain continuation exceeded 1,000,000 steps without "
-                    "yielding; the raced lane appears not to terminate")
-            steps_left -= 1
-            op = int(code[pc][0])
-            if op in (_isa.OP_THREAD_END, _isa.OP_HALT):
-                return
-            if op == _isa.OP_FOR_NEXT:
-                # iteration boundary: counter++ and re-enter the head
-                # (executing its source task would restart the loop)
-                loop_id = int(code[pc][2])
-                if counters is not None and loop_id < len(counters):
-                    counters[loop_id] += 1
-                pc = int(code[pc][1])
-                continue
-            task = self.compiled.source_tasks[pc]
-            if task is None:
-                pc += 1
-                continue
-            coro = self.exec_parked(rt, state, pc, task, i, 0,
-                                    counters, engine, emit_event=False)
-            try:
-                coro.send(None)
-            except StopIteration as si:
-                pc = si.value
-                continue
-            coro.close()  # suspended: cancellation lands here
-            return
-
     async def cancel(self, i: int) -> None:
         pend = self.pending.pop(i, None)
         if not pend:
@@ -326,21 +280,30 @@ class LaneRing:
         await asyncio.sleep(0)  # one loop pass: synchronous prefixes run
 
         if drain:
-            # effects of ops that completed without suspending are kept
-            # (reference: the raced coroutine ran to that point before the
-            # cancel landed); a completed lane then CONTINUES synchronously
-            # until its next true suspension — asyncio's cancel lands at
-            # the next yield point, so a loser whose IO resolved runs its
-            # non-yielding continuation (prints, sets) before dying.
-            # Everything still pending is cancelled, and loser exceptions
-            # are discarded like the reference's return_exceptions=True
-            # sweep.
+            # a finished race is being drained. Lanes whose IO completed
+            # within the tick resume ON DEVICE (their continuation slice
+            # runs natively — asyncio runs a resolved loser's slice before
+            # the FIRST_COMPLETED waiter processes the cancellation), as
+            # do never-started lanes (their first slice). Lanes still
+            # suspended get the cancel, keeping their pre-yield effects;
+            # loser exceptions are discarded like the reference's
+            # return_exceptions=True sweep. The block completes only when
+            # no lane has a slice coming.
             collect_done(swallow_errors=True)
-            for t in np.nonzero(tstate == T_READY)[0]:
-                self._run_until_yield(rt, i, state, int(tpc[int(t)]),
-                                      counters, engine)
             await self.cancel(i)
-            return "complete"
+            for t in waiting():
+                tstate[t] = T_DONE   # cancelled at the suspension point
+            runnable = (tstate == T_READY) | (tstate == T_NEW)
+            if not runnable.any():
+                return "complete"
+            if cur >= 0 and tstate[cur] == T_READY:
+                nxt = cur
+            else:
+                order = [(max(cur, -1) + 1 + k) % len(tstate)
+                         for k in range(len(tstate))]
+                nxt = next(t for t in order if runnable[t])
+            view["cur"] = int(nxt)
+            return "resume"
 
         resumed = collect_done()
         for t in waiting():

@@ -1321,18 +1321,18 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
         started = lane < K
         new_left = jnp.any(started & (tstate == T_NEW))
         wait_left = jnp.any(started & (tstate == T_WAIT))
+        ready_left = jnp.any(started & (tstate == T_READY))
         all_done = jnp.all(~started | (tstate == T_DONE))
         wait_mode = st.par_mode == 1
-        # wait: done when every lane is; race/drain: done when every lane
-        # has at least STARTED its first slice (asyncio runs each gathered
-        # task once before the FIRST_COMPLETED waiter cancels the rest) —
-        # never-run lanes drain first, and lanes parked mid-drain get their
-        # host-side slice (then cancellation) from the ring
-        complete = jnp.where(wait_mode, all_done, ~new_left & ~wait_left)
+        # wait: done when every lane is; race/drain: done when no lane
+        # still has a slice coming — NEW lanes get their first slice,
+        # READY lanes (resumed IO) their continuation slice, WAIT lanes
+        # their cancel, all before asyncio's FIRST_COMPLETED waiter
+        # processes the cancellation
+        complete = jnp.where(wait_mode, all_done,
+                             ~new_left & ~wait_left & ~ready_left)
         drain = ~wait_mode & ~complete
-        run_mask = jnp.where(
-            wait_mode, (st.tstate == T_NEW) | (st.tstate == T_READY),
-            st.tstate == T_NEW)
+        run_mask = (st.tstate == T_NEW) | (st.tstate == T_READY)
         any_run, nxt = _pick(st, run_mask)
         # priority: complete > run next lane > park for the ring
         st = st._replace(par_mode=jnp.where(
@@ -1360,8 +1360,10 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
         suspends the current LANE (T_WAIT) and parks the instance for the
         ring — which resumes the same lane if its IO completes without
         suspending (the asyncio synchronous-continuation illusion) or runs
-        the next lane if it truly blocks. While draining a finished race,
-        remaining never-run lanes are switched to directly on device."""
+        the next lane if it truly blocks. The device must NOT switch to
+        another lane here, even mid-drain: whether the parked lane's slice
+        continues (before any later lane runs — the ordering asyncio
+        exposes) is host-side knowledge."""
         parked = ((st_new.status == PARKED) & (st_new.par_mode > 0)
                   & (st_new.cur_tid >= 0)
                   & (st_new.park_kind != PARK_THREADS))
@@ -1374,14 +1376,8 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
             tpark_arg=jnp.where(sel, st_new.park_arg, st_new.tpark_arg),
             tpc=jnp.where(sel, st_new.park_arg, st_new.tpc),
         )
-        draining = waited.par_mode == 3
-        any_new, nxt = _pick(waited, waited.tstate == T_NEW)
-        switch = parked & draining & any_new
         return waited._replace(
-            pc=jnp.where(switch, waited.tpc[nxt], waited.pc),
-            cur_tid=jnp.where(switch, nxt, waited.cur_tid),
-            status=jnp.where(switch, jnp.int32(RUNNING), waited.status),
-            park_kind=jnp.where(parked & ~switch, jnp.int32(PARK_THREADS),
+            park_kind=jnp.where(parked, jnp.int32(PARK_THREADS),
                                 waited.park_kind),
         )
 

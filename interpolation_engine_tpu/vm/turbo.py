@@ -1666,19 +1666,25 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
                       for l in range(NT)]
             started = [l < k_lanes for l in range(NT)]
             f = zero_i == 1
-            new_left, wait_left, all_done = f, f, zero_i == 0
+            new_left, wait_left, ready_left = f, f, f
+            all_done = zero_i == 0
             for l in range(NT):
                 if started[l]:
                     new_left = new_left | (tstate[l] == T_NEW)
                     wait_left = wait_left | (tstate[l] == T_WAIT)
+                    ready_left = ready_left | (tstate[l] == T_READY)
                     all_done = all_done & (tstate[l] == T_DONE)
             wait_mode = _rd(ts, C_PARMODE) == PM_WAIT
             # boolean algebra, not where() — Mosaic can't lower i1 selects
+            # race completes only when no lane still has a slice coming:
+            # NEW lanes get their first slice, READY lanes (resumed IO)
+            # their continuation slice, WAIT lanes their cancel — all
+            # before asyncio's FIRST_COMPLETED waiter processes the cancel
             complete = (wait_mode & all_done) | \
-                (~wait_mode & ~new_left & ~wait_left)
+                (~wait_mode & ~new_left & ~wait_left & ~ready_left)
             drain = ~wait_mode & ~complete
-            # next runnable lane, cyclic from cur+1 (wait mode also runs
-            # READY lanes; race/drain runs never-started lanes only)
+            # next runnable lane, cyclic from cur+1 (both modes run NEW
+            # and READY lanes; WAIT lanes wait for the ring)
             any_run, nxt = f, zero_i
             start = cur + 1
             for off in range(NT):
@@ -1686,8 +1692,7 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
                 st_i = zero_i
                 for l in range(NT):
                     st_i = jnp.where(idx == l, tstate[l], st_i)
-                runnable = (st_i == T_NEW) | \
-                    (wait_mode & (st_i == T_READY))
+                runnable = (st_i == T_NEW) | (st_i == T_READY)
                 # only started lanes are runnable
                 started_i = idx < k_lanes
                 runnable = runnable & started_i
@@ -1740,20 +1745,20 @@ def _make_cols(plan: TurboPlan, tcfg: TurboConfig) -> _Cols:
 
 def _lane_yield(ts: _TS, cols: _Cols, t: int) -> _TS:
     """Post-switch transform: a park raised while inside a parallel block
-    suspends the current LANE (T_WAIT, tpc/tparg := parked pc). While
-    draining a finished race, remaining never-run lanes are switched to
-    directly on device; otherwise the instance stays PARKED and the ring
-    services its waiting lanes (vm/lanering.py — vm/step.py thread_yield
-    twin). Idempotent — safe to run every inner step."""
+    suspends the current LANE (T_WAIT, tpc/tparg := parked pc); the
+    instance parks and the ring resolves it (vm/lanering.py — vm/step.py
+    thread_yield twin). The kernel must NOT switch to another lane here,
+    even mid-drain: whether the parked lane's IO completes synchronously
+    (its slice continues before any later lane runs — the asyncio
+    ordering the reference exposes) is host-side knowledge. Idempotent —
+    safe to run every inner step."""
     if cols.nt == 0:
         return ts
-    NT = cols.nt
-    zero_i = _rd(ts, C_PC) * 0
     cur_tid = _rd(ts, C_CURTID)
     parked = (_rd(ts, C_STATUS) == PARKED) & \
         (_rd(ts, C_PARMODE) > 0) & (cur_tid >= 0)
     # the fixup runs every inner step but only matters right after an
-    # in-block park — skip its ~15 ops on the common (no-park) step
+    # in-block park — skip its ops on the common (no-park) step
     return jax.lax.cond(jnp.any(parked),
                         lambda ts_: _lane_yield_apply(ts_, cols, t,
                                                       parked),
@@ -1762,9 +1767,7 @@ def _lane_yield(ts: _TS, cols: _Cols, t: int) -> _TS:
 
 def _lane_yield_apply(ts: _TS, cols: _Cols, t: int, parked) -> _TS:
     NT = cols.nt
-    zero_i = _rd(ts, C_PC) * 0
-    cur_tid = _rd(ts, C_CURTID)
-    cur = jnp.clip(cur_tid, 0, NT - 1)
+    cur = jnp.clip(_rd(ts, C_CURTID), 0, NT - 1)
     pc = _rd(ts, C_PC)
     regs = ts.regs
     for l in range(NT):
@@ -1772,27 +1775,6 @@ def _lane_yield_apply(ts: _TS, cols: _Cols, t: int, parked) -> _TS:
         regs = _wr(regs, cols.tstate(l), T_WAIT, sel)
         regs = _wr(regs, cols.tparg(l), pc, sel)
         regs = _wr(regs, cols.tpc(l), pc, sel)
-    # drain: give the next never-run lane its first slice on device
-    draining = _rd(ts, C_PARMODE) == PM_DRAIN
-    any_new, nxt = zero_i == 1, zero_i
-    start = cur + 1
-    for off in range(NT):
-        idx = (start + off) % NT
-        st_i = zero_i
-        for l in range(NT):
-            st_i = jnp.where(idx == l, _rd(ts, cols.tstate(l)), st_i)
-        st_i = jnp.where(parked & (idx == cur), T_WAIT, st_i)
-        runnable = st_i == T_NEW
-        pick = runnable & ~any_new
-        nxt = jnp.where(pick, idx, nxt)
-        any_new = any_new | runnable
-    switch = parked & draining & any_new
-    tpc_nxt = zero_i
-    for l in range(NT):
-        tpc_nxt = jnp.where(nxt == l, _rd(ts, cols.tpc(l)), tpc_nxt)
-    regs = _wr(regs, C_PC, tpc_nxt, switch)
-    regs = _wr(regs, C_CURTID, nxt, switch)
-    regs = _wr(regs, C_STATUS, RUNNING, switch)
     return ts._replace(regs=regs)
 
 

@@ -444,11 +444,24 @@ def gen_turbo_program(rng: random.Random):
                 # (PARITY divergence 7 — resolved deterministically here),
                 # which a strict equality sweep can't assert on. 'w' is
                 # never deleted by the generator's delete wildcards.
-                body = [{"cmd": "set",
-                         "item": rng.choice(["p", "{w}", "q-{w}"]),
-                         "output_name": rng.choice(keys + ["pv"])}]
-                if rng.random() < 0.5:
-                    body.append({"cmd": "print", "text": f"l{li};"})
+                # Blocking user_input inside lanes is fair game since
+                # round 4 (lane park/resume through the ring): scripted
+                # responses complete synchronously, so consumption order
+                # and race-cancellation continuations are deterministic
+                # on both engines.
+                if rng.random() < 0.4:
+                    body = [{"cmd": "user_input", "prompt": f"p{li}? ",
+                             "output_name": rng.choice(keys + ["pv"])}]
+                    if rng.random() < 0.5:
+                        # post-IO continuation: exact under drain since
+                        # round 4 (lanering._run_until_yield)
+                        body.append({"cmd": "print", "text": f"u{li};"})
+                else:
+                    body = [{"cmd": "set",
+                             "item": rng.choice(["p", "{w}", "q-{w}"]),
+                             "output_name": rng.choice(keys + ["pv"])}]
+                    if rng.random() < 0.5:
+                        body.append({"cmd": "print", "text": f"l{li};"})
                 lanes.append({"cmd": "serial", "tasks": body}
                              if rng.random() < 0.7 else body[0])
             tasks.append({"cmd": mode, "tasks": lanes})
@@ -522,7 +535,7 @@ def test_random_turbo_programs_agree(tmp_path, capsys):
     # satisfy user_choice (an out-of-range value like "7" exercises the
     # error-class parity path instead)
     responses = ["ada", "1", "x y", "beta", "{brace", "2", "tail",
-                 "3", "gm", "plain", "7", "z}"] * 2
+                 "3", "gm", "plain", "7", "z}"] * 4
     n_compared = 0
     for idx in range(40):
         program = gen_turbo_program(rng)
