@@ -31,8 +31,10 @@ from interpolation_engine_tpu.vm.config import DONE
 
 from test_turbo import TCFG, gen_turbo_program, run_turbo  # noqa: E402
 
+# ×6: in-lane user_input (round 4) can consume several responses per
+# parallel block on top of the top-level IO
 RESPONSES = ["ada", "1", "x y", "beta", "{brace", "2", "tail",
-             "3", "gm", "plain", "7", "z}"] * 3
+             "3", "gm", "plain", "7", "z}"] * 6
 
 
 def main():

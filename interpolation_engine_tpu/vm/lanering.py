@@ -32,7 +32,7 @@ import numpy as np
 from ..core.events import EVENTS, VM_PARK
 from ..core.executor import Runtime, execute_task
 from ..core.interp import InterpolationException
-from .config import PARK_AWAIT_INSERT, T_NEW, T_READY, T_WAIT
+from .config import PARK_AWAIT_INSERT, T_DONE, T_NEW, T_READY, T_WAIT
 
 
 def await_insert_ready(task, inserts) -> bool:
