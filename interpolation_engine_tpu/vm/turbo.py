@@ -259,6 +259,45 @@ def _iota(t, w):
     return jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
 
 
+_PW = 128  # Mosaic dynamic_gather operates on exactly one 128-lane vreg
+
+
+def _taa(src, idx, t: int, w: int, wo: int | None = None):
+    """Mosaic-safe per-lane gather over the lane dim:
+    ``out[:, j] = src[:, clip(idx[:, j], 0, w-1)]`` — src (t, w), idx
+    (t, wo), out (t, wo); wo defaults to w.
+
+    Mosaic's dim-1 ``tpu.dynamic_gather`` compiles only at EXACTLY 128
+    lanes / int32 (benchmarks/mosaic_probe7.py: 256- and 512-lane and
+    uint8 gathers all fail to compile), so a same-shape take_along_axis
+    is legal only at (t, 128). Wider rows decompose into 128-lane
+    chunks: each output chunk gathers every source chunk at the local
+    index and chunk-selects — ceil(w/128)*ceil(wo/128) vreg gathers."""
+    wo = w if wo is None else wo
+    idx = jnp.clip(idx, 0, w - 1)
+    if w == _PW and wo == _PW:
+        return jnp.take_along_axis(src, idx, axis=1)
+    ncs = -(-w // _PW)
+    if ncs * _PW != w:
+        src = jnp.pad(src, ((0, 0), (0, ncs * _PW - w)))
+    nco = -(-wo // _PW)
+    if nco * _PW != wo:
+        idx = jnp.pad(idx, ((0, 0), (0, nco * _PW - wo)))
+    chunks = []
+    for c in range(nco):
+        ic = jax.lax.slice_in_dim(idx, c * _PW, (c + 1) * _PW, axis=1)
+        loc = ic % _PW
+        sel = ic // _PW
+        acc = None
+        for s in range(ncs):
+            sc = jax.lax.slice_in_dim(src, s * _PW, (s + 1) * _PW, axis=1)
+            g = jnp.take_along_axis(sc, loc, axis=1)
+            acc = g if acc is None else jnp.where(sel == s, g, acc)
+        chunks.append(acc)
+    out = chunks[0] if nco == 1 else jnp.concatenate(chunks, axis=1)
+    return out[:, :wo] if nco * _PW != wo else out
+
+
 def _rd(ts: _TS, c: int):
     return jax.lax.slice_in_dim(ts.regs, c, c + 1, axis=1)
 
@@ -411,10 +450,10 @@ def _int_to_dec(v, t: int, w: int):
     table = jnp.pad(jnp.concatenate(cols, axis=1), ((0, 0), (0, w - 10)))
     pos = _iota(t, w)
     e = nd - 1 - pos
-    dig = jnp.take_along_axis(table, jnp.clip(e, 0, w - 1), axis=1)
+    dig = _taa(table, e, t, w)
     buf = jnp.where(pos < nd, dig + 48, 0)
     # sign: shift digits right one, '-' (45) at position 0
-    shifted = jnp.take_along_axis(buf, jnp.clip(pos - 1, 0, w - 1), axis=1)
+    shifted = _taa(buf, pos - 1, t, w)
     nbuf = jnp.where(pos == 0, 45, jnp.where(pos < nd + 1, shifted, 0))
     buf = jnp.where(neg, nbuf, buf)
     return buf, nd + neg.astype(jnp.int32)
@@ -440,8 +479,7 @@ def _parse_dec(buf, ln, t: int, w: int):
     for _ in range(9):
         cols.append(cols[-1] * 10)
     ptab = jnp.pad(jnp.concatenate(cols, axis=1), ((0, 0), (0, w - 10)))
-    powv = jnp.take_along_axis(
-        ptab, jnp.clip(ln - 1 - pos, 0, w - 1), axis=1)
+    powv = _taa(ptab, ln - 1 - pos, t, w)
     val = jnp.sum(jnp.where(in_rng, (buf - 48) * powv, 0),
                   axis=1, keepdims=True)
     return jnp.where(neg, -val, val), ok
@@ -457,7 +495,7 @@ def _has_brace_or_escape(buf, ln, t: int, w: int):
 def _append(buf, ln, sbuf, sln, t: int, w: int):
     """Append (sbuf, sln) onto (buf, ln) at the dynamic offset ln."""
     pos = _iota(t, w)
-    shifted = jnp.take_along_axis(sbuf, jnp.clip(pos - ln, 0, w - 1), axis=1)
+    shifted = _taa(sbuf, pos - ln, t, w)
     return jnp.where((pos >= ln) & (pos < ln + sln), shifted, buf), ln + sln
 
 
@@ -469,8 +507,7 @@ def _elem_bytes_static(ts: _TS, cols: _Cols, s: int, e: int, t: int,
     src = ts.strs[row]
     if off:
         pos = _iota(t, w)
-        src = jnp.take_along_axis(src, jnp.clip(pos + off, 0, w - 1),
-                                  axis=1)
+        src = _taa(src, pos + off, t, w)
     el = jax.lax.slice_in_dim(ts.strs[cols.meta_row[s]],
                               2 * cols.E + e, 2 * cols.E + e + 1, axis=1)
     pos = _iota(t, w)
@@ -513,8 +550,7 @@ def _meta_shift(row, cols: _Cols, k, t: int, w: int):
     (negative k shifts right). Cross-section bleed lands only in cells at
     or past each section's new count — never read."""
     lane = _iota(t, w)
-    idx = jnp.clip(lane + k, 0, w - 1)
-    return jnp.take_along_axis(row, idx, axis=1)
+    return _taa(row, lane + k, t, w)
 
 
 def _lane_rel(cols: _Cols, t: int, w: int):
@@ -538,8 +574,7 @@ def _pool_shift_left_bytes(ts: _TS, cols: _Cols, s: int, off, t: int,
         for q in range(r, cols.elem_rows):
             rel = off + (r - q) * w
             idx = pos + rel
-            g = jnp.take_along_axis(rows[q], jnp.clip(idx, 0, w - 1),
-                                    axis=1)
+            g = _taa(rows[q], idx, t, w)
             acc = jnp.where((idx >= 0) & (idx < w), g, acc)
         out.append(acc)
     return out
@@ -554,7 +589,7 @@ def _pool_place_bytes(strs: list, cols: _Cols, s: int, payload, off,
     for r in range(cols.elem_rows):
         row_i = cols.list_row0[s] + r
         idx = pos + r * w - off
-        g = jnp.take_along_axis(payload, jnp.clip(idx, 0, w - 1), axis=1)
+        g = _taa(payload, idx, t, w)
         win = (idx >= 0) & (idx < nbytes)
         strs[row_i] = jnp.where(mask & win, g, strs[row_i])
 
@@ -569,7 +604,7 @@ def _elem_read(ts: _TS, cols: _Cols, s: int, j, t: int, w: int):
         acc = jnp.where((j // cols.pack) == r, ts.strs[row0 + r], acc)
     off = (j % cols.pack) * cols.ew
     pos = _iota(t, w)
-    ebuf = jnp.take_along_axis(acc, jnp.clip(pos + off, 0, w - 1), axis=1)
+    ebuf = _taa(acc, pos + off, t, w)
     ebuf = jnp.where(pos < jnp.minimum(el, cols.ew), ebuf, 0)
     return et, ei, el, ebuf
 
@@ -738,8 +773,7 @@ def _render(ts: _TS, cols: _Cols, tmpl, t: int, w: int, lit):
                 const_off = None            # offset now data-dependent
         else:
             seg_ln = (zero_i + sln_c) if sln is None else sln
-            shifted = jnp.take_along_axis(
-                sbuf, jnp.clip(pos - ln, 0, w - 1), axis=1)
+            shifted = _taa(sbuf, pos - ln, t, w)
             buf = jnp.where((pos >= ln) & (pos < ln + seg_ln), shifted, buf)
             ln = ln + seg_ln
     park = park | (ln > w)
@@ -764,8 +798,7 @@ def _match_at(pattern, buf, ln, t: int, w: int, lit):
                                     axis=1, keepdims=True)
     if kind == "suffix":
         cb, cl = lit(pattern[1])
-        tail = jnp.take_along_axis(buf, jnp.clip(pos + ln - cl, 0, w - 1),
-                                   axis=1)
+        tail = _taa(buf, pos + ln - cl, t, w)
         return (ln >= cl) & jnp.all((pos >= cl) | (tail == cb),
                                     axis=1, keepdims=True)
     # affix
@@ -773,8 +806,7 @@ def _match_at(pattern, buf, ln, t: int, w: int, lit):
     pb, plen = lit(pre)
     sb, slen_c = lit(suf)
     pre_ok = jnp.all((pos >= plen) | (buf == pb), axis=1, keepdims=True)
-    tail = jnp.take_along_axis(buf, jnp.clip(pos + ln - slen_c, 0, w - 1),
-                               axis=1)
+    tail = _taa(buf, pos + ln - slen_c, t, w)
     suf_ok = jnp.all((pos >= slen_c) | (tail == sb), axis=1, keepdims=True)
     return (ln >= plen + slen_c) & pre_ok & suf_ok
 
@@ -918,8 +950,7 @@ def _place_elem(strs: list, cols: _Cols, s: int, e: int, vbuf, mask,
     row, off = cols.elem_pos(s, e)
     pos = _iota(t, w)
     if off:
-        shifted = jnp.take_along_axis(
-            vbuf, jnp.clip(pos - off, 0, w - 1), axis=1)
+        shifted = _taa(vbuf, pos - off, t, w)
     else:
         shifted = vbuf
     window = (pos >= off) & (pos < off + cols.ew)
@@ -1082,22 +1113,10 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
                 parkm = parkm | (_rd(ts, cols.stype(tmpl[0].slot)) != T_STR)
             out_len = _rd(ts, C_OUTLEN)
             pos_o = _iota(t, ow)
-            # Mosaic gather constraints: indices shape == source shape AND
-            # the gather dim must fit one vreg (128 lanes). Shift the
-            # payload into each 128-lane chunk of the output with a
-            # same-shape gather from the 128-wide (padded) payload; bytes
-            # past vln are masked by the range select below.
-            PW = 128
-            src = vbuf if w >= PW else jnp.pad(vbuf,
-                                               ((0, 0), (0, PW - w)))
-            pos_c = _iota(t, PW)
-            chunks = []
-            for c in range(0, ow, PW):
-                idx = jnp.clip(pos_c + c - out_len, 0, PW - 1)
-                g = jnp.take_along_axis(src, idx, axis=1)
-                chunks.append(g[:, :min(PW, ow - c)])
-            shifted = (jnp.concatenate(chunks, axis=1)
-                       if len(chunks) > 1 else chunks[0])
+            # cross-width shift payload→output at the dynamic offset
+            # out_len (_taa handles Mosaic's 128-lane gather constraint);
+            # bytes past vln are masked by the range select below
+            shifted = _taa(vbuf, pos_o - out_len, t, w, wo=ow)
             new_out = jnp.where(
                 (pos_o >= out_len) & (pos_o < out_len + vln),
                 shifted, ts.out)
@@ -1563,8 +1582,7 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
                     seg = acc_rows[r] * 0
                     for q in range(0, r + 1):
                         idx = gpos - boff - q * w
-                        g = jnp.take_along_axis(
-                            rows_k[q], jnp.clip(idx, 0, w - 1), axis=1)
+                        g = _taa(rows_k[q], idx, t, w)
                         seg = jnp.where((idx >= 0) & (idx < w), g, seg)
                     win = (gpos >= boff) & \
                         (gpos < boff + ns[k] * cols.ew)

@@ -1805,3 +1805,25 @@ def test_fast_ring_overflow_promotes(tmp_path, capsys):
         assert r.status == DONE
         assert r.output == host["output"]
         assert r.inserts == dict(host["inserts"])
+
+
+@pytest.mark.parametrize("w,wo", [(128, 128), (128, 256), (512, 512),
+                                  (512, 128), (128, 512), (96, 192)])
+def test_taa_chunked_gather_matches_reference(w, wo):
+    """_taa == clip-then-take_along_axis at every width combination.
+
+    Mosaic's dynamic_gather only compiles at exactly 128 lanes
+    (benchmarks/mosaic_probe7.py), so wider rows go through _taa's
+    chunk-and-select decomposition; this pins its semantics on CPU
+    (the hardware compile side is covered by benchmarks/mosaic_probe8.py,
+    all combos compiled + correct on v5e)."""
+    import numpy as np
+    from interpolation_engine_tpu.vm.turbo import _taa
+
+    rng = np.random.default_rng(42)
+    t = 64
+    src = rng.integers(0, 250, (t, w)).astype(np.int32)
+    idx = rng.integers(-w, 2 * w, (t, wo)).astype(np.int32)
+    got = np.asarray(_taa(src, idx, t, w, wo=wo))
+    ref = src[np.arange(t)[:, None], np.clip(idx, 0, w - 1)]
+    assert (got == ref).all()
