@@ -29,7 +29,23 @@ from interpolation_engine_tpu.programs.validator import (
     ProgramValidationError, validate_program)
 from interpolation_engine_tpu.vm.config import DONE
 
-from test_turbo import TCFG, gen_turbo_program, run_turbo  # noqa: E402
+import test_turbo  # noqa: E402
+from test_turbo import gen_turbo_program, run_turbo  # noqa: E402
+
+# SOAK_WIDTH/SOAK_ELEM/SOAK_OUT/SOAK_LIST_CAP override the default turbo
+# config — a width >128 run drives every instruction through _taa's
+# multi-chunk gather decomposition (the Mosaic 128-lane workaround),
+# differentially against the host oracle.
+if any(k in os.environ for k in ("SOAK_WIDTH", "SOAK_ELEM", "SOAK_OUT",
+                                 "SOAK_LIST_CAP")):
+    from interpolation_engine_tpu.vm.turbo import TurboConfig
+    test_turbo.TCFG = TurboConfig(
+        tile=8,
+        width=int(os.environ.get("SOAK_WIDTH", 64)),
+        out_width=int(os.environ.get("SOAK_OUT", 192)),
+        k_steps=24,
+        list_cap=int(os.environ.get("SOAK_LIST_CAP", 12)),
+        elem_width=int(os.environ.get("SOAK_ELEM", 32)))
 
 # ×6: in-lane user_input (round 4) can consume several responses per
 # parallel block on top of the top-level IO
