@@ -3,7 +3,8 @@
 # single-core client-side work; each run's kernel lands in the AOT cache
 # so the driver's end-of-round bench.py reloads in seconds).
 #
-# Order: bank the cheap/known numbers first, then the two long cold
+# Order: the driver's default bench first (its cache MUST be warm at
+# end-of-round), then the cheap known numbers, then the two long cold
 # compiles (race-io ≈ adventure-scale at leaf=128 ≈ 40-60 min on axon;
 # adventure_real at width 512 is the biggest trace). A prior race-io
 # attempt was killed at minute 37 INSIDE backend.compile_and_load — that
