@@ -568,14 +568,20 @@ def _measure_race_io(compiled, n_instances, rounds):
         def user_input_sync(self, prompt, default=""):
             return "cgo"
 
-    inner_steps = int(os.environ.get("BENCH_INNER_STEPS", 64))
+    # race-io defaults: the workload parks EVERY ~14 steps (one park per
+    # race per instance per turn), so k_steps=16 keeps the kernel call
+    # matched to the park cadence instead of idling parked rows through
+    # 64 inner steps; leaf=32 because lockstep park-heavy rounds sit in
+    # one dispatch leaf (and the leaf=128 straight-line kernel's cold
+    # compile runs >37 min on one core — benchmarks/README.md)
+    inner_steps = int(os.environ.get("BENCH_INNER_STEPS", 16))
     tcfg = TurboConfig(tile=int(os.environ.get("BENCH_TILE", 512)),
                        width=int(os.environ.get("BENCH_WIDTH", 128)),
                        out_width=int(os.environ.get("BENCH_OUT", 128)),
                        k_steps=inner_steps,
                        list_cap=int(os.environ.get("BENCH_LIST_CAP", 12)),
                        elem_width=int(os.environ.get("BENCH_ELEM", 32)),
-                       leaf=int(os.environ.get("BENCH_LEAF", 128)))
+                       leaf=int(os.environ.get("BENCH_LEAF", 32)))
     eng = TurboEngine(compiled, tcfg,
                       io_factory=lambda i: IOManager(CannedSyncBackend()))
     batch = eng.make_batch(n_instances)

@@ -2074,9 +2074,10 @@ class TurboEngine:
         self._fast_enabled = _os.environ.get("IE_TPU_FAST_RING", "1") != "0"
         self._fast_tables = None
         self._fast_call: dict = {}       # i → bound sync call | None
+        self._fast_call_ok = None        # (n,) i8: 1 sync, -1 no, 0 unknown
         self._ios: dict = {}             # i → IOManager (io_factory cache)
-        self._meta_fns: dict = {}        # k_pad → meta-column gather jit
-        self._fast_resume_fns: dict = {}  # (slot, k_pad, U_pad) → jit
+        self._meta_fns: dict = {}        # "full" → meta-column slice jit
+        self._fast_resume_fns: dict = {}  # (slot, U_pad) → jit
 
     # ---- batch lifecycle ---------------------------------------------------
 
@@ -2577,17 +2578,20 @@ class TurboEngine:
         cols += [self.cols.tparg(l) for l in range(self.cols.nt)]
         return cols
 
-    def _meta_gather_fn(self, k_pad: int):
-        """Gather the classification columns of k_pad rows as uint8 (every
-        value fits: pc < 192, par_mode ≤ 3, tstate ≤ 4, tparg < 192)."""
-        fn = self._meta_fns.get(k_pad)
+    def _meta_full_fn(self):
+        """Slice the classification columns of the WHOLE batch as uint8
+        (every value fits: pc < 192, par_mode ≤ 3, tstate ≤ 4,
+        tparg < 192). Full-batch (vs a row gather) so the host never
+        uploads an index vector and the jit has one shape — the download
+        is n×(2+2·nt) bytes."""
+        fn = self._meta_fns.get("full")
         if fn is None:
             mc = jnp.asarray(self._meta_cols(), jnp.int32)
 
             @jax.jit
-            def fn(regs, idx):
-                return jnp.take(regs, idx, axis=0)[:, mc].astype(jnp.uint8)
-            self._meta_fns[k_pad] = fn
+            def fn(regs):
+                return regs[:, mc].astype(jnp.uint8)
+            self._meta_fns["full"] = fn
         return fn
 
     def _pow2_idx(self, rows, n: int):
@@ -2598,12 +2602,37 @@ class TurboEngine:
         idx_np[k:] = rows[0]
         return idx_np, k_pad
 
+    def _fast_call_avail(self, parked: np.ndarray, n: int) -> np.ndarray:
+        """Per-row sync-call availability as a vector (1 = has a sync
+        user_input call, -1 = not sync-serviceable, 0 = not yet resolved).
+        Resolution (io_factory + backend attribute probing) is per-row
+        Python, but runs ONCE per row ever — the steady state is a pure
+        numpy slice."""
+        ok = self._fast_call_ok
+        if ok is None or len(ok) != n:
+            ok = self._fast_call_ok = np.zeros((n,), np.int8)
+        need = parked[ok[parked] == 0]
+        if len(need):
+            calls = self._fast_call
+            for i in need.tolist():
+                call = calls.get(i, _MISS)
+                if call is _MISS:
+                    b = getattr(self._io_for(i), "backend", None)
+                    f = getattr(b, "user_input_sync", None)
+                    if f is None and getattr(b, "sync_io", False):
+                        f = _drive_sync(b.user_input)
+                    calls[i] = call = f
+                ok[i] = 1 if call is not None else -1
+        return ok
+
     def _classify_parked(self, batch: TurboBatch, parked: np.ndarray):
         """Split parked rows into fast-serviceable site groups and the
         slow (exact per-row) remainder. Fast requires: a fast site pc
         (top-level park, or a drain with exactly one WAIT lane at a
         lane-final fast site), a sync_io backend, logging/events off, and
-        no pending lane IO for the instance."""
+        no pending lane IO for the instance. Pure numpy over one
+        full-batch u8 column download — no per-row Python in steady state
+        (the per-row backend call itself lives in _fast_service)."""
         from ..core.context import log_enabled
         from ..core.events import EVENTS
         if not self._fast_enabled or len(parked) == 0:
@@ -2613,9 +2642,8 @@ class TurboEngine:
             return {}, parked
         k = len(parked)
         n = int(batch.regs.shape[0])
-        idx_np, k_pad = self._pow2_idx(parked, n)
-        meta = np.asarray(self._meta_gather_fn(k_pad)(
-            batch.regs, jnp.asarray(idx_np)))[:k].astype(np.int32)
+        meta = np.asarray(self._meta_full_fn()(batch.regs))[parked] \
+            .astype(np.int32)
         P = self.plan.n_instr
         pcs = meta[:, 0]
         pm = meta[:, 1]
@@ -2637,36 +2665,37 @@ class TurboEngine:
             fast_mask = top_mask | dmask
         else:
             fast_mask = top_mask
-        groups: dict = {}
-        demoted: list = []
+        fast_mask &= self._fast_call_avail(parked, n)[parked] == 1
         pend = self._lanering.pending
-        calls = self._fast_call
-        for r in np.nonzero(fast_mask)[0]:
-            i = int(parked[r])
-            call = calls.get(i, _MISS)
-            if call is _MISS:
-                b = getattr(self._io_for(i), "backend", None)
-                f = getattr(b, "user_input_sync", None)
-                if f is None and getattr(b, "sync_io", False):
-                    f = _drive_sync(b.user_input)
-                calls[i] = call = f
-            if call is None or (pend and self._gid(i) in pend):
-                demoted.append(i)
-                continue
-            groups.setdefault(int(site_pcs[r]), []).append(i)
+        if pend and fast_mask.any():
+            # pending lane IO demotes a row to the exact slow path; pend
+            # is small (lanes mid-await), so resolve its rows directly
+            prows = [r for r in (self._row_of(g, n) for g in pend)
+                     if r is not None]
+            if prows:
+                fast_mask &= ~np.isin(parked, prows)
+        fp = parked[fast_mask]
+        groups: dict = {}
+        if len(fp):
+            sp = site_pcs[fast_mask]
+            if (sp == sp[0]).all():       # lockstep batch: one site
+                groups[int(sp[0])] = fp
+            else:
+                for pc in np.unique(sp):
+                    groups[int(pc)] = fp[sp == pc]
         slow = parked[~fast_mask]
-        if demoted:
-            slow = np.concatenate(
-                [slow, np.asarray(demoted, parked.dtype)])
         return groups, slow
 
-    def _fast_resume_fn(self, out_slot: int, k_pad: int, u_pad: int):
+    def _fast_resume_fn(self, out_slot: int, u_pad: int):
         """Device-side resume for one fast site: write the (deduped)
         results into the out slot and do ALL register bookkeeping on
         device — pc := (drain ? join : pc+1), steps+1, status RUNNING,
         and on drain completion the lane/parallel clears + epoch bump —
-        so the host never moves full rows."""
-        key = (out_slot, k_pad, u_pad)
+        so the host never moves full rows. Full-batch masked (uploads are
+        an n-byte mask + n-byte dedup index, not row-index vectors), so
+        one specialization serves every round and, under a mesh, the
+        update is elementwise — no cross-device gather/scatter."""
+        key = (out_slot, u_pad)
         fn = self._fast_resume_fns.get(key)
         if fn is not None:
             return fn
@@ -2678,39 +2707,40 @@ class TurboEngine:
         nt = cols.nt
         regw = cols.regw
 
-        def fn(regs, sbuf, idx, uniq_u8, inv, uniq_len):
-            rows = jnp.take(regs, idx, axis=0)           # (K, REGW)
-            drain = rows[:, C_PARMODE] == PM_DRAIN
-            nxt = jnp.where(drain, rows[:, C_PARJOIN], rows[:, C_PC] + 1)
+        def fn(regs, sbuf, mask, inv, uniq_u8, uniq_len):
+            inv = inv.astype(jnp.int32)
+            drain = regs[:, C_PARMODE] == PM_DRAIN
+            nxt = jnp.where(drain, regs[:, C_PARJOIN], regs[:, C_PC] + 1)
             rlen = jnp.take(uniq_len, inv)
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, regw), 1)
-            new = rows
+            m = mask[:, None]
+            new = regs
 
             def setc(new, c, v):
-                return jnp.where(lane == c, v[:, None], new)
+                return jnp.where((lane == c) & m, v[:, None], new)
 
             zero = nxt * 0
             new = setc(new, C_PC, nxt)
             new = setc(new, C_STATUS, zero + RUNNING)
-            new = setc(new, C_STEPS, rows[:, C_STEPS] + 1)
+            new = setc(new, C_STEPS, regs[:, C_STEPS] + 1)
             new = setc(new, stype_c, zero + T_STR)
             new = setc(new, sint_c, zero)
             new = setc(new, slen_c, rlen)
             new = setc(new, C_CURTID,
-                       jnp.where(drain, -1, rows[:, C_CURTID]))
+                       jnp.where(drain, -1, regs[:, C_CURTID]))
             new = setc(new, C_PARMODE,
-                       jnp.where(drain, PM_NONE, rows[:, C_PARMODE]))
+                       jnp.where(drain, PM_NONE, regs[:, C_PARMODE]))
             new = setc(new, C_PARJOIN,
-                       jnp.where(drain, 0, rows[:, C_PARJOIN]))
+                       jnp.where(drain, 0, regs[:, C_PARJOIN]))
             new = setc(new, C_PAREPOCH,
-                       rows[:, C_PAREPOCH] + drain.astype(jnp.int32))
+                       regs[:, C_PAREPOCH] + drain.astype(jnp.int32))
             for l in range(nt):
                 c = cols.tstate(l)
                 new = setc(new, c,
-                           jnp.where(drain, T_FREE, rows[:, c]))
+                           jnp.where(drain, T_FREE, regs[:, c]))
             res = jnp.take(uniq_u8, inv, axis=0).astype(jnp.int32)
-            return (regs.at[idx].set(new),
-                    sbuf.at[row_idx, idx].set(res))
+            srow = jnp.where(m, res, sbuf[row_idx])
+            return new, sbuf.at[row_idx].set(srow)
 
         fn = jax.jit(fn, donate_argnums=(0, 1))
         self._fast_resume_fns[key] = fn
@@ -2727,17 +2757,26 @@ class TurboEngine:
         _, _, sites = self._build_fast_tables()
         n_done = 0
         w = self.tcfg.width
+        n = int(batch.regs.shape[0])
         for site_pc, rows in groups.items():
             prompt, out_slot = sites[site_pc]
             calls = self._fast_call
-            results = [calls[i](prompt) for i in rows]
-            uniq: dict = {}
-            inv = []
-            for r in results:
-                u = uniq.get(r)
-                if u is None:
-                    u = uniq[r] = len(uniq)
-                inv.append(u)
+            rows_l = rows.tolist() if isinstance(rows, np.ndarray) \
+                else list(rows)
+            results = [calls[i](prompt) for i in rows_l]
+            # dedup: one C-speed membership pass short-circuits the
+            # common every-row-same-response round to a single unique
+            if len(set(results)) == 1:
+                uniq = {results[0]: 0}
+                inv = None                       # ≡ all zeros
+            else:
+                uniq = {}
+                inv = []
+                for r in results:
+                    u = uniq.get(r)
+                    if u is None:
+                        u = uniq[r] = len(uniq)
+                    inv.append(u)
             enc: list = []
             bad_uniques = set()
             for r, u in sorted(uniq.items(), key=lambda kv: kv[1]):
@@ -2753,8 +2792,9 @@ class TurboEngine:
                     data = b""
                 enc.append(data)
             if bad_uniques:
+                inv_l = inv if inv is not None else [0] * len(rows_l)
                 keep_rows, keep_inv = [], []
-                for k_, (i, u) in enumerate(zip(rows, inv)):
+                for k_, (i, u) in enumerate(zip(rows_l, inv_l)):
                     if u in bad_uniques:
                         batch = await self._promote_after_fast(
                             batch, i, site_pc, results[k_])
@@ -2762,8 +2802,8 @@ class TurboEngine:
                     else:
                         keep_rows.append(i)
                         keep_inv.append(u)
-                rows, inv = keep_rows, keep_inv
-            if not rows:
+                rows_l, inv = keep_rows, keep_inv
+            if not rows_l:
                 continue
             u_pad = max(4, 1 << (len(enc) - 1).bit_length())
             uniq_u8 = np.zeros((u_pad, w), np.uint8)
@@ -2771,25 +2811,28 @@ class TurboEngine:
             for u, data in enumerate(enc):
                 uniq_u8[u, :len(data)] = np.frombuffer(data, np.uint8)
                 uniq_len[u] = len(data)
-            idx_np, k_pad = self._pow2_idx(rows, int(batch.regs.shape[0]))
-            inv_np = np.empty((k_pad,), np.int32)
-            inv_np[:len(rows)] = inv
-            inv_np[len(rows):] = inv[0]
-            fn = self._fast_resume_fn(out_slot, k_pad, u_pad)
-            regs, sbuf = fn(batch.regs, batch.sbuf, jnp.asarray(idx_np),
-                            jnp.asarray(uniq_u8), jnp.asarray(inv_np),
+            rows_np = np.asarray(rows_l, np.int64)
+            mask_np = np.zeros((n,), bool)
+            mask_np[rows_np] = True
+            inv_dt = np.uint8 if u_pad <= 256 else np.int32
+            inv_np = np.zeros((n,), inv_dt)
+            if inv is not None:
+                inv_np[rows_np] = np.fromiter(inv, inv_dt, len(inv))
+            fn = self._fast_resume_fn(out_slot, u_pad)
+            regs, sbuf = fn(batch.regs, batch.sbuf, jnp.asarray(mask_np),
+                            jnp.asarray(inv_np), jnp.asarray(uniq_u8),
                             jnp.asarray(uniq_len))
             batch = TurboBatch(regs, sbuf, batch.out)
-            n_done += len(rows)
+            n_done += len(rows_l)
             # events parity: the fast path only runs with logging/event
             # sinks off, so only the counters need to move
             EVENTS.counters[TASK_START] = \
-                EVENTS.counters.get(TASK_START, 0) + len(rows)
+                EVENTS.counters.get(TASK_START, 0) + len(rows_l)
             EVENTS.counters[VM_PARK] = \
-                EVENTS.counters.get(VM_PARK, 0) + len(rows)
+                EVENTS.counters.get(VM_PARK, 0) + len(rows_l)
             by = self.ring_stats["parks_by_kind"]
-            by[PARK_USER_INPUT] = by.get(PARK_USER_INPUT, 0) + len(rows)
-            self.ring_stats["fast_parks"] += len(rows)
+            by[PARK_USER_INPUT] = by.get(PARK_USER_INPUT, 0) + len(rows_l)
+            self.ring_stats["fast_parks"] += len(rows_l)
         return batch, n_done
 
     async def _promote_after_fast(self, batch: TurboBatch, i: int,
@@ -3410,8 +3453,11 @@ class TurboEngine:
             # path just resumed). Parked lanes are frozen in-kernel (test:
             # parked rows bit-identical under extra steps), so the scatter
             # below lands on unchanged rows — semantics equal to the
-            # sequential order, wall-clock = max(host, device).
-            if (status == RUNNING).any() or n_fast:
+            # sequential order, wall-clock = max(host, device). In a
+            # fast-only round there is no host service to overlap with —
+            # the loop-top step does the work, so stepping here would
+            # just double the kernel cost per park cycle.
+            if service is not None and ((status == RUNNING).any() or n_fast):
                 batch = step(batch)
             resumed = n_fast
             changed = ()
@@ -3435,6 +3481,13 @@ class TurboEngine:
                         sub["regs"][j, C_STATUS] = RUNNING
                 batch = self._scatter_sub(batch, sub, idx,
                                           len(slow), k_pad)
+            if service is None and n_fast:
+                # fast-only round: every serviced row is RUNNING by
+                # construction (device-side resume), so the liveness and
+                # stall checks are decided without another status
+                # download — the loop-top step re-fetches next round
+                stalled = 0
+                continue
             status = np.asarray(batch.regs[:, C_STATUS])
             if not ((status == RUNNING) | (status == PARKED)).any():
                 break
