@@ -324,9 +324,19 @@ class _LitTable:
         return self.index[data]
 
     def array(self) -> np.ndarray:
+        """Literal bytes as a kernel input. Rows wider than one 128-lane
+        vreg are pre-tiled HOST-side to (L*ncs, 128): Mosaic cannot
+        broadcast a (1, w) row whose chunks sit at non-zero lane offsets
+        (vector.broadcast 'Invalid input layout' at w=512, real v5e), so
+        _mk_lit broadcasts per offset-0 chunk row and concatenates."""
         table = np.zeros((max(len(self.index), 1), self.w), np.int32)
         for data, i in self.index.items():
             table[i, :len(data)] = list(data)
+        if self.w > _PW:
+            ncs = -(-self.w // _PW)
+            if ncs * _PW != self.w:
+                table = np.pad(table, ((0, 0), (0, ncs * _PW - self.w)))
+            table = table.reshape(table.shape[0] * ncs, _PW)
         return table
 
     def collect(self, instrs) -> None:
@@ -427,10 +437,25 @@ def plan_fingerprint(plan: TurboPlan, tcfg: TurboConfig) -> str:
 
 
 def _mk_lit(lits_ref, table: _LitTable, t: int):
-    """Kernel-side literal loader: data -> ((t, w) bytes, python-int len)."""
+    """Kernel-side literal loader: data -> ((t, w) bytes, python-int len).
+
+    For w > 128 the table arrives pre-tiled as (L*ncs, 128) (see
+    _LitTable.array): each chunk row broadcasts from lane offset 0 —
+    the only broadcast Mosaic accepts — and the chunks concatenate."""
+    w = table.w
+    if w <= _PW:
+        def lit(data: bytes):
+            row = lits_ref[table.index[data]]      # (w,) static row
+            return jnp.broadcast_to(row[None, :], (t, w)), len(data)
+        return lit
+    ncs = -(-w // _PW)
+
     def lit(data: bytes):
-        row = lits_ref[table.index[data]]          # (w,) static row
-        return jnp.broadcast_to(row[None, :], (t, table.w)), len(data)
+        i = table.index[data]
+        full = jnp.concatenate(
+            [jnp.broadcast_to(lits_ref[i * ncs + c][None, :], (t, _PW))
+             for c in range(ncs)], axis=1)
+        return (full[:, :w] if ncs * _PW != w else full), len(data)
     return lit
 
 
@@ -1812,7 +1837,6 @@ def build_step_fn(plan: TurboPlan, tcfg: TurboConfig, n: int,
     lit_table = _LitTable(w)
     lit_table.collect(plan.instrs)
     lits_np = lit_table.array()
-    L = lits_np.shape[0]
 
     def kernel(lits_ref, regs_ref, sbuf_ref, out_ref,
                o_regs, o_sbuf, o_out):
@@ -1898,7 +1922,8 @@ def build_step_fn(plan: TurboPlan, tcfg: TurboConfig, n: int,
     call = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec((L, w), lambda g: (0, 0))] + state_specs,
+        in_specs=[pl.BlockSpec(lits_np.shape,
+                               lambda g: (0, 0))] + state_specs,
         out_specs=tuple(state_specs),
         out_shape=shapes,
         input_output_aliases={1: 0, 2: 1, 3: 2},
@@ -2573,7 +2598,9 @@ class TurboEngine:
         return self._fast_tables
 
     def _meta_cols(self) -> list:
-        cols = [C_PC, C_PARMODE]
+        # C_STATUS leads so one download serves BOTH the round-top
+        # liveness check and park classification (status ≤ 4 fits u8)
+        cols = [C_STATUS, C_PC, C_PARMODE]
         cols += [self.cols.tstate(l) for l in range(self.cols.nt)]
         cols += [self.cols.tparg(l) for l in range(self.cols.nt)]
         return cols
@@ -2625,14 +2652,16 @@ class TurboEngine:
                 ok[i] = 1 if call is not None else -1
         return ok
 
-    def _classify_parked(self, batch: TurboBatch, parked: np.ndarray):
+    def _classify_parked(self, batch: TurboBatch, parked: np.ndarray,
+                         meta_np: np.ndarray = None):
         """Split parked rows into fast-serviceable site groups and the
         slow (exact per-row) remainder. Fast requires: a fast site pc
         (top-level park, or a drain with exactly one WAIT lane at a
         lane-final fast site), a sync_io backend, logging/events off, and
         no pending lane IO for the instance. Pure numpy over one
-        full-batch u8 column download — no per-row Python in steady state
-        (the per-row backend call itself lives in _fast_service)."""
+        full-batch u8 column download (meta_np when the round loop
+        already fetched it) — no per-row Python in steady state (the
+        per-row backend call itself lives in _fast_service)."""
         from ..core.context import log_enabled
         from ..core.events import EVENTS
         if not self._fast_enabled or len(parked) == 0:
@@ -2642,8 +2671,9 @@ class TurboEngine:
             return {}, parked
         k = len(parked)
         n = int(batch.regs.shape[0])
-        meta = np.asarray(self._meta_full_fn()(batch.regs))[parked] \
-            .astype(np.int32)
+        if meta_np is None:
+            meta_np = np.asarray(self._meta_full_fn()(batch.regs))
+        meta = meta_np[parked].astype(np.int32)[:, 1:]   # drop C_STATUS
         P = self.plan.n_instr
         pcs = meta[:, 0]
         pm = meta[:, 1]
@@ -2707,8 +2737,17 @@ class TurboEngine:
         nt = cols.nt
         regw = cols.regw
 
-        def fn(regs, sbuf, mask, inv, uniq_u8, uniq_len):
-            inv = inv.astype(jnp.int32)
+        w = self.tcfg.width
+
+        def fn(regs, sbuf, mi, uniq):
+            # mi: (n, 2) [mask, dedup index]; uniq: (u_pad, w+2) u8 with
+            # the result length little-endian in the last two columns —
+            # TWO host→device transfers per serviced site, total ~2n bytes
+            mask = mi[:, 0] != 0
+            inv = mi[:, 1].astype(jnp.int32)
+            ub = uniq.astype(jnp.int32)
+            uniq_u8 = ub[:, :w]
+            uniq_len = ub[:, w] + ub[:, w + 1] * 256
             drain = regs[:, C_PARMODE] == PM_DRAIN
             nxt = jnp.where(drain, regs[:, C_PARJOIN], regs[:, C_PC] + 1)
             rlen = jnp.take(uniq_len, inv)
@@ -2806,22 +2845,20 @@ class TurboEngine:
             if not rows_l:
                 continue
             u_pad = max(4, 1 << (len(enc) - 1).bit_length())
-            uniq_u8 = np.zeros((u_pad, w), np.uint8)
-            uniq_len = np.zeros((u_pad,), np.int32)
+            uniq_pk = np.zeros((u_pad, w + 2), np.uint8)
             for u, data in enumerate(enc):
-                uniq_u8[u, :len(data)] = np.frombuffer(data, np.uint8)
-                uniq_len[u] = len(data)
+                uniq_pk[u, :len(data)] = np.frombuffer(data, np.uint8)
+                uniq_pk[u, w] = len(data) & 0xFF
+                uniq_pk[u, w + 1] = len(data) >> 8
             rows_np = np.asarray(rows_l, np.int64)
-            mask_np = np.zeros((n,), bool)
-            mask_np[rows_np] = True
-            inv_dt = np.uint8 if u_pad <= 256 else np.int32
-            inv_np = np.zeros((n,), inv_dt)
+            mi_dt = np.uint8 if u_pad <= 256 else np.int32
+            mi_np = np.zeros((n, 2), mi_dt)
+            mi_np[rows_np, 0] = 1
             if inv is not None:
-                inv_np[rows_np] = np.fromiter(inv, inv_dt, len(inv))
+                mi_np[rows_np, 1] = np.fromiter(inv, mi_dt, len(inv))
             fn = self._fast_resume_fn(out_slot, u_pad)
-            regs, sbuf = fn(batch.regs, batch.sbuf, jnp.asarray(mask_np),
-                            jnp.asarray(inv_np), jnp.asarray(uniq_u8),
-                            jnp.asarray(uniq_len))
+            regs, sbuf = fn(batch.regs, batch.sbuf, jnp.asarray(mi_np),
+                            jnp.asarray(uniq_pk))
             batch = TurboBatch(regs, sbuf, batch.out)
             n_done += len(rows_l)
             # events parity: the fast path only runs with logging/event
@@ -3396,6 +3433,7 @@ class TurboEngine:
                         ) -> TurboBatch:
         import asyncio
         import time
+        from ..core.context import log_enabled
         from ..core.events import EVENTS, VM_ROUND
         n = batch.regs.shape[0]
         step = self.step_fn(n)
@@ -3403,7 +3441,15 @@ class TurboEngine:
         stalled = 0
         for round_no in range(max_rounds):
             batch = step(batch)
-            status = np.asarray(batch.regs[:, C_STATUS])
+            meta_np = None
+            if self._fast_enabled and self._build_fast_tables()[2] \
+                    and not log_enabled() and not EVENTS.enabled:
+                # one combined u8 download serves the liveness check AND
+                # park classification (col 0 is C_STATUS)
+                meta_np = np.asarray(self._meta_full_fn()(batch.regs))
+                status = meta_np[:, 0].astype(np.int32)
+            else:
+                status = np.asarray(batch.regs[:, C_STATUS])
             if self._lanering.pending:
                 # cancel host IO of finished parallel blocks (a race won
                 # on device bumps par_epoch; the losers' pending IO must
@@ -3433,7 +3479,8 @@ class TurboEngine:
             # vectorized fast path first (literal-prompt user_input on
             # sync backends — VERDICT r3 next #3): no full-row gather,
             # device-side resume; the exact slow path takes the rest
-            fast_groups, slow = self._classify_parked(batch, parked)
+            fast_groups, slow = self._classify_parked(batch, parked,
+                                                      meta_np)
             service = sub = idx = park_pcs = None
             k_pad = 0
             if len(slow):
