@@ -243,6 +243,92 @@ def adventure_program(n_rooms: int = 6, t_max: int = 1 << 30,
     """ % "".join(rooms)
 
 
+def _turbo_cfg(workload: str):
+    """The TurboConfig each workload measures with (env-overridable).
+    Shared by the measure functions AND the cold-start guard so the
+    guard's cache-key probe matches the kernel the measurement would
+    actually build."""
+    from interpolation_engine_tpu.vm.turbo import TurboConfig
+
+    if workload == "race-io":
+        # race-io defaults: the workload parks EVERY ~14 steps (one park
+        # per race per instance per turn), so k_steps=16 keeps the kernel
+        # call matched to the park cadence instead of idling parked rows
+        # through 64 inner steps; leaf=32 because lockstep park-heavy
+        # rounds sit in one dispatch leaf (and the leaf=128 straight-line
+        # kernel's cold compile runs >37 min on one core)
+        return TurboConfig(
+            tile=int(os.environ.get("BENCH_TILE", 512)),
+            width=int(os.environ.get("BENCH_WIDTH", 128)),
+            out_width=int(os.environ.get("BENCH_OUT", 128)),
+            k_steps=int(os.environ.get("BENCH_INNER_STEPS", 16)),
+            list_cap=int(os.environ.get("BENCH_LIST_CAP", 12)),
+            elem_width=int(os.environ.get("BENCH_ELEM", 32)),
+            leaf=int(os.environ.get("BENCH_LEAF", 32)))
+    if workload == "ring":
+        return TurboConfig(
+            tile=int(os.environ.get("BENCH_TILE", 512)), width=128,
+            out_width=192,
+            k_steps=int(os.environ.get("BENCH_INNER_STEPS", 64)),
+            leaf=int(os.environ.get("BENCH_LEAF", 32)))
+    # adventure / divergent / interp / spine:
+    # tile sizing: 512 across the board now that the raised scoped-VMEM
+    # budget (TurboConfig.vmem_limit_bytes) lets the adventure kernel's
+    # fat list branches compile — measured 25.6M tasks/s at 512 vs 19.2M
+    # at 256 vs 5.5M at 128 (131072 instances, real v5e).
+    # per-workload leaf defaults, each the measured best: the adventure
+    # kernel wins big from straight-line dispatch (leaf 4/8/16/32/64/128
+    # → 25.6/45.1/72.1/109.3/120.2/133.8M tasks/s; 128 ≥ n_instr = no
+    # cond tree), while the 6-instruction spine LOSES from it (74.3M at
+    # 128 vs 100.7M at 4 — straight-line pays the fat print branch every
+    # carry step that the cond tree elides)
+    default_leaf = 4 if workload == "spine" else 128
+    return TurboConfig(
+        tile=int(os.environ.get("BENCH_TILE", 512)),
+        width=int(os.environ.get("BENCH_WIDTH", 128)),
+        out_width=int(os.environ.get("BENCH_OUT", 128)),
+        k_steps=int(os.environ.get("BENCH_INNER_STEPS", 64)),
+        list_cap=int(os.environ.get("BENCH_LIST_CAP", 12)),
+        elem_width=int(os.environ.get("BENCH_ELEM", 32)),
+        leaf=int(os.environ.get("BENCH_LEAF", default_leaf)))
+
+
+# measured on the real v5e (benchmarks/r05_runs/leaf4_cold.err): the
+# adventure kernel's cold compile by leaf — 128: ~2,550 s, 32: ~360 s,
+# 4: 226.6 s. leaf=4 lands the whole cold bench in ~5 min (steady-state
+# 25.6M tasks/s — still 2.5× the 10M target) vs a guaranteed timeout at
+# the default leaf=128.
+GUARD_LEAF = 4
+
+
+def _cold_guard(compiled, workload: str, engine: str, n_instances: int):
+    """Cold-start guard (VERDICT r4 next #1c): when the turbo mega-kernel
+    for the selected config has NO serialized executable in the AOT cache
+    (vm/aotcache.py — repo-local, so normally warm after a checkout), a
+    cold build would cost ~2,500 s at the default leaf=128 and blow any
+    reasonable capture timeout. Rather than time out with zero output,
+    drop to a small-leaf config of the SAME workload (slower steady-state,
+    ~5× cheaper compile) so ONE honest JSON line always lands. Set
+    BENCH_COLD_GUARD=0 to force the configured kernel regardless."""
+    if engine != "turbo" or os.environ.get("BENCH_COLD_GUARD", "1") == "0":
+        return
+    if "BENCH_LEAF" in os.environ:
+        return  # explicit leaf: the caller owns the compile budget
+    import jax
+    if jax.devices()[0].platform == "cpu":
+        return  # CPU jit of the interpret-mode kernel is cheap
+    from interpolation_engine_tpu.vm.turbo import TurboEngine
+    probe = TurboEngine(compiled, _turbo_cfg(workload))
+    if probe.step_is_cached(n_instances):
+        return
+    os.environ["BENCH_LEAF"] = str(GUARD_LEAF)
+    probe = TurboEngine(compiled, _turbo_cfg(workload))
+    state = "warm" if probe.step_is_cached(n_instances) else "cold"
+    print(f"# cold-start guard: no cached executable for the default "
+          f"{workload} kernel — dropping to leaf={GUARD_LEAF} ({state}); "
+          f"BENCH_COLD_GUARD=0 overrides", file=sys.stderr)
+
+
 def main():
     """Try the accelerator in a killable child first; its compile can exceed
     any reasonable budget on remote-compile backends, in which case we fall
@@ -320,6 +406,7 @@ def measure():
         pass
 
     engine = os.environ.get("BENCH_ENGINE", "turbo")
+    _cold_guard(compiled, workload, engine, n_instances)
     divergence = int(os.environ.get(
         "BENCH_DIVERGENCE", 8 if workload == "divergent" else 0))
     if workload == "ring":
@@ -419,30 +506,9 @@ def _measure_turbo(compiled, n_instances, rounds, on_accel,
     min-pc scheduling's serialization under a forked batch."""
     import numpy as np
     import jax
-    from interpolation_engine_tpu.vm.turbo import TurboConfig, TurboEngine
+    from interpolation_engine_tpu.vm.turbo import TurboEngine
 
-    inner_steps = int(os.environ.get("BENCH_INNER_STEPS", 64))
-    # tile sizing: 512 across the board now that the raised scoped-VMEM
-    # budget (TurboConfig.vmem_limit_bytes) lets the adventure kernel's
-    # fat list branches compile — measured 25.6M tasks/s at 512 vs 19.2M
-    # at 256 vs 5.5M at 128 (131072 instances, real v5e)
-    default_tile = 512
-    # per-workload leaf defaults, each the measured best (131072
-    # instances, real v5e): the adventure kernel wins big from
-    # straight-line dispatch (leaf 4/8/16/32/64/128 → 25.6/45.1/72.1/
-    # 109.3/120.2/133.8M tasks/s; 128 ≥ n_instr = no cond tree), while
-    # the 6-instruction spine LOSES from it (74.3M at 128 vs 100.7M at
-    # 4 — straight-line pays the fat print branch every carry step that
-    # the cond tree elides)
-    default_leaf = 4 if os.environ.get("BENCH_WORKLOAD",
-                                       "adventure") == "spine" else 128
-    tcfg = TurboConfig(tile=int(os.environ.get("BENCH_TILE", default_tile)),
-                       width=int(os.environ.get("BENCH_WIDTH", 128)),
-                       out_width=int(os.environ.get("BENCH_OUT", 128)),
-                       k_steps=inner_steps,
-                       list_cap=int(os.environ.get("BENCH_LIST_CAP", 12)),
-                       elem_width=int(os.environ.get("BENCH_ELEM", 32)),
-                       leaf=int(os.environ.get("BENCH_LEAF", default_leaf)))
+    tcfg = _turbo_cfg(os.environ.get("BENCH_WORKLOAD", "adventure"))
     eng = TurboEngine(compiled, tcfg)
     if divergence > 0:
         inserts = dict(compiled.program["default_state"]["inserts"])
@@ -495,7 +561,7 @@ def _measure_ring(compiled, n_instances, rounds):
     import numpy as np
     import jax
     from interpolation_engine_tpu.io.manager import BufferBackend, IOManager
-    from interpolation_engine_tpu.vm.turbo import TurboConfig, TurboEngine
+    from interpolation_engine_tpu.vm.turbo import TurboEngine
 
     frac = float(os.environ.get("BENCH_RING_FRAC", 0.10))
 
@@ -508,13 +574,11 @@ def _measure_ring(compiled, n_instances, rounds):
         async def user_input(self, prompt, default=""):
             return "ok"
 
-    inner_steps = int(os.environ.get("BENCH_INNER_STEPS", 64))
     # measured on this workload (131072 instances, real v5e): 4.95M at
     # leaf=4 → 9.52M at the default leaf=32 → 39.6M after the round-3
     # ring rework (delta write-back, fused uint8 gather/scatter,
     # host/device overlap, lazy event formatting) — ring_ms 43.4s → 9.9s
-    tcfg = TurboConfig(tile=int(os.environ.get("BENCH_TILE", 512)),
-                       width=128, out_width=192, k_steps=inner_steps)
+    tcfg = _turbo_cfg("ring")
     eng = TurboEngine(compiled, tcfg,
                       io_factory=lambda i: IOManager(CannedBackend()))
     inserts = dict(compiled.program["default_state"]["inserts"])
@@ -560,7 +624,7 @@ def _measure_race_io(compiled, n_instances, rounds):
     import numpy as np
     import jax
     from interpolation_engine_tpu.io.manager import BufferBackend, IOManager
-    from interpolation_engine_tpu.vm.turbo import TurboConfig, TurboEngine
+    from interpolation_engine_tpu.vm.turbo import TurboEngine
 
     class CannedSyncBackend(BufferBackend):
         sync_io = True
@@ -568,20 +632,7 @@ def _measure_race_io(compiled, n_instances, rounds):
         def user_input_sync(self, prompt, default=""):
             return "cgo"
 
-    # race-io defaults: the workload parks EVERY ~14 steps (one park per
-    # race per instance per turn), so k_steps=16 keeps the kernel call
-    # matched to the park cadence instead of idling parked rows through
-    # 64 inner steps; leaf=32 because lockstep park-heavy rounds sit in
-    # one dispatch leaf (and the leaf=128 straight-line kernel's cold
-    # compile runs >37 min on one core — benchmarks/README.md)
-    inner_steps = int(os.environ.get("BENCH_INNER_STEPS", 16))
-    tcfg = TurboConfig(tile=int(os.environ.get("BENCH_TILE", 512)),
-                       width=int(os.environ.get("BENCH_WIDTH", 128)),
-                       out_width=int(os.environ.get("BENCH_OUT", 128)),
-                       k_steps=inner_steps,
-                       list_cap=int(os.environ.get("BENCH_LIST_CAP", 12)),
-                       elem_width=int(os.environ.get("BENCH_ELEM", 32)),
-                       leaf=int(os.environ.get("BENCH_LEAF", 32)))
+    tcfg = _turbo_cfg("race-io")
     eng = TurboEngine(compiled, tcfg,
                       io_factory=lambda i: IOManager(CannedSyncBackend()))
     batch = eng.make_batch(n_instances)

@@ -22,7 +22,12 @@ dependency. Writes are atomic (tmp + rename), so concurrent processes at
 worst both build.
 
 Env: IE_TPU_KERNEL_CACHE=0 disables; IE_TPU_KERNEL_CACHE_DIR overrides
-the default ~/.cache/ie_tpu_kernels.
+the default. The default directory is REPO-LOCAL (.ie_kernel_cache next
+to the package) so warm executables ride along with a git checkout —
+the home-dir cache (~/.cache/ie_tpu_kernels) does not survive container
+hops, which cost round 4 its official benchmark capture (BENCH_r04.json
+rc=124: the driver's cold bench timed out on the ~2,500 s mega-kernel
+compile). The legacy home-dir location is still read as a fallback.
 """
 
 from __future__ import annotations
@@ -79,9 +84,34 @@ def enabled() -> bool:
     return os.environ.get("IE_TPU_KERNEL_CACHE", "1") != "0"
 
 
+_LEGACY_DIR = "~/.cache/ie_tpu_kernels"
+
+
 def cache_dir() -> str:
-    return os.path.expanduser(os.environ.get(
-        "IE_TPU_KERNEL_CACHE_DIR", "~/.cache/ie_tpu_kernels"))
+    if "IE_TPU_KERNEL_CACHE_DIR" in os.environ:
+        return os.path.expanduser(os.environ["IE_TPU_KERNEL_CACHE_DIR"])
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(os.path.dirname(pkg), ".ie_kernel_cache")
+
+
+def _entry_path(name: str, key: str):
+    """Path of an existing cache entry, or None. Checks the active dir
+    first, then the legacy home-dir location (read-only fallback so
+    pre-round-5 warm caches keep working)."""
+    fname = f"{name}-{key}.jaxexec"
+    for d in (cache_dir(), os.path.expanduser(_LEGACY_DIR)):
+        p = os.path.join(d, fname)
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def is_cached(name: str, key: str) -> bool:
+    """True when a serialized executable exists for (name, key). Cheap —
+    used by bench.py's cold-start guard to decide whether the mega-kernel
+    can be reloaded in seconds or would need a multi-thousand-second
+    cold compile."""
+    return enabled() and _entry_path(name, key) is not None
 
 
 def load_or_export(name: str, key: str, build_fn, example_args):
@@ -99,9 +129,10 @@ def load_or_export(name: str, key: str, build_fn, example_args):
         return build_fn()
     from jax.experimental import serialize_executable as _se
     path = os.path.join(cache_dir(), f"{name}-{key}.jaxexec")
-    if os.path.exists(path):
+    found = _entry_path(name, key)
+    if found is not None:
         try:
-            with open(path, "rb") as f:
+            with open(found, "rb") as f:
                 payload, in_tree, out_tree = pickle.load(f)
             loaded = _se.deserialize_and_load(payload, in_tree, out_tree)
             # smoke-run on zeros: a stale executable can fail at CALL

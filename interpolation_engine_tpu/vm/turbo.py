@@ -2480,6 +2480,20 @@ class TurboEngine:
             self._step_fns[n] = self._build_or_load_step(n)
         return self._step_fns[n]
 
+    def step_cache_key(self, n: int) -> str:
+        """AOT cache key of this engine's n-row step kernel — cheap (no
+        tracing). bench.py's cold-start guard checks aotcache.is_cached
+        on it to avoid walking into a multi-thousand-second cold compile
+        inside the driver's capture timeout."""
+        from . import aotcache
+        return aotcache.cache_key(
+            aotcache.kernel_sources(),
+            (plan_fingerprint(self.plan, self.tcfg), self.tcfg, n))
+
+    def step_is_cached(self, n: int) -> bool:
+        from . import aotcache
+        return aotcache.is_cached("turbo-step", self.step_cache_key(n))
+
     def _build_or_load_step(self, n: int):
         """AOT kernel cache (vm/aotcache.py). The mega-kernel's dominant
         cost is CLIENT-side tracing + Pallas→Mosaic lowering (the
@@ -2503,9 +2517,7 @@ class TurboEngine:
         if self.interpret:
             return build_step_fn(self.plan, self.tcfg, n, self.interpret)
         from . import aotcache
-        key = aotcache.cache_key(
-            aotcache.kernel_sources(),
-            (plan_fingerprint(self.plan, self.tcfg), self.tcfg, n))
+        key = self.step_cache_key(n)
         lit_table = _LitTable(self.tcfg.width)
         lit_table.collect(self.plan.instrs)
         lits_np = lit_table.array()
