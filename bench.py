@@ -406,7 +406,10 @@ def measure():
         pass
 
     engine = os.environ.get("BENCH_ENGINE", "turbo")
-    _cold_guard(compiled, workload, engine, n_instances)
+    eff_rows = n_instances
+    if workload == "race-io":  # sharded: the kernel is built per shard
+        eff_rows //= max(1, int(os.environ.get("BENCH_SHARDS", 2)))
+    _cold_guard(compiled, workload, engine, eff_rows)
     divergence = int(os.environ.get(
         "BENCH_DIVERGENCE", 8 if workload == "divergent" else 0))
     if workload == "ring":
@@ -624,7 +627,8 @@ def _measure_race_io(compiled, n_instances, rounds):
     import numpy as np
     import jax
     from interpolation_engine_tpu.io.manager import BufferBackend, IOManager
-    from interpolation_engine_tpu.vm.turbo import TurboEngine
+    from interpolation_engine_tpu.vm.turbo import (
+        assign_shard_ids, make_shard_engines, run_pipelined)
 
     class CannedSyncBackend(BufferBackend):
         sync_io = True
@@ -633,35 +637,53 @@ def _measure_race_io(compiled, n_instances, rounds):
             return "cgo"
 
     tcfg = _turbo_cfg("race-io")
-    eng = TurboEngine(compiled, tcfg,
-                      io_factory=lambda i: IOManager(CannedSyncBackend()))
-    batch = eng.make_batch(n_instances)
-    step = eng.step_fn(batch.regs.shape[0])
+    # BENCH_SHARDS sibling engines pipeline host ring service against
+    # device stepping (vm/turbo.py run_pipelined): while shard A's
+    # backend calls run on the host, shard B's mega-kernel steps on
+    # device. 1 disables (round-3/4 comparable single-batch mode).
+    shards = max(1, int(os.environ.get("BENCH_SHARDS", 2)))
+    ns = n_instances // shards
+    engines = make_shard_engines(
+        compiled, tcfg, shards,
+        io_factory=lambda i: IOManager(CannedSyncBackend()))
+    assign_shard_ids(engines, ns)
+    batches = [e.make_batch(ns) for e in engines]
+    step = engines[0].step_fn(ns)
 
     t0 = time.perf_counter()
-    batch = step(batch)
-    jax.block_until_ready(batch.regs)
+    batches = [step(b) for b in batches]
+    jax.block_until_ready(batches[0].regs)
     compile_s = time.perf_counter() - t0
     # one warm-up ring round: compiles the classification gather and the
     # device-side fast-resume executables outside the timed region
-    batch = asyncio.run(eng.run_async(batch, max_rounds=1))
+    pairs = list(zip(engines, batches))
+    batches = asyncio.run(run_pipelined(pairs, max_rounds=1))
 
-    steps0 = int(np.asarray(batch.regs[:, 2]).sum())
-    rs0 = dict(eng.ring_stats)
+    def total_steps(bs):
+        return sum(int(np.asarray(b.regs[:, 2]).sum()) for b in bs)
+
+    steps0 = total_steps(batches)
+    rs0 = [dict(e.ring_stats) for e in engines]
+    pairs = list(zip(engines, batches))
     t0 = time.perf_counter()
-    batch = asyncio.run(eng.run_async(batch, max_rounds=rounds))
-    jax.block_until_ready(batch.regs)
+    batches = asyncio.run(run_pipelined(pairs, max_rounds=rounds))
+    for b in batches:
+        jax.block_until_ready(b.regs)
     elapsed = time.perf_counter() - t0
-    steps1 = int(np.asarray(batch.regs[:, 2]).sum())
-    rs = eng.ring_stats
-    assert not eng._escape_results and not eng._promote_states and \
-        not eng._escape_states, "race-io must stay fully batched"
-    print(f"# race-io ring: rounds={rs['rounds']} "
-          f"parks={rs['parks'] - rs0['parks']} "
-          f"fast={rs['fast_parks'] - rs0['fast_parks']} "
-          f"ring_ms={rs['ring_ms'] - rs0['ring_ms']:.1f} "
-          f"ring_share="
-          f"{(rs['ring_ms'] - rs0['ring_ms']) / max(elapsed * 1e3, 1e-9):.3f}",
+    steps1 = total_steps(batches)
+    for e in engines:
+        assert not e._escape_results and not e._promote_states and \
+            not e._escape_states, "race-io must stay fully batched"
+    parks = sum(e.ring_stats["parks"] - r0["parks"]
+                for e, r0 in zip(engines, rs0))
+    fast = sum(e.ring_stats["fast_parks"] - r0["fast_parks"]
+               for e, r0 in zip(engines, rs0))
+    ring_ms = sum(e.ring_stats["ring_ms"] - r0["ring_ms"]
+                  for e, r0 in zip(engines, rs0))
+    print(f"# race-io ring: shards={shards} "
+          f"rounds={engines[0].ring_stats['rounds']} "
+          f"parks={parks} fast={fast} ring_ms={ring_ms:.1f} "
+          f"ring_share={ring_ms / max(elapsed * 1e3, 1e-9):.3f}",
           file=sys.stderr)
     return steps1 - steps0, elapsed, compile_s
 

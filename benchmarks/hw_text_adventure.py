@@ -63,7 +63,7 @@ def main():
                 if k % 60 == 0:
                     print(f"  poll {k}: chats={counter['n']} "
                           f"responses_left={len(backend.responses)} "
-                          f"escapes={len(engine._escape_tasks)}",
+                          f"escapes={engine.ring_stats['escapes']}",
                           flush=True)
                 if not backend.responses and counter["n"] >= 3:
                     break
@@ -73,12 +73,8 @@ def main():
                 await task
             except asyncio.CancelledError:
                 pass
-            for t in engine._escape_tasks.values():
+            for t in engine._promo_tasks:
                 t.cancel()
-                try:
-                    await t
-                except (asyncio.CancelledError, Exception):
-                    pass
             return backend
 
     backend = asyncio.run(go())

@@ -437,7 +437,22 @@ class _Builder:
         elif cmd == "user_choice":
             self.emit_park(PARK_USER_CHOICE, t)
         elif cmd == "await_insert":
-            self.emit_park(PARK_AWAIT_INSERT, t)
+            name = t.get("name")
+            if isinstance(name, str) and \
+                    not any(ch in name for ch in "{}\\"):
+                # literal key: encode (off, len) so the device can check
+                # readiness IN-KERNEL (step.py h_park / turbo IPark
+                # await_slot). The reference's await is
+                # ``while name not in inserts: await asyncio.sleep(0.05)``
+                # (interpolation_engine.py:1572-1574): a present key
+                # means NO yield — the lane continues synchronously;
+                # an absent key suspends at the sleep, where a race
+                # cancel always lands. Interpolated names keep b=c=0
+                # (unconditional park, exact host servicing).
+                off, ln = self.intern(name)
+                self.emit(isa.OP_PARK, PARK_AWAIT_INSERT, off, ln, task=t)
+            else:
+                self.emit_park(PARK_AWAIT_INSERT, t)
         elif cmd == "chat":
             self.emit_park(PARK_CHAT, t)
         elif cmd == "write":

@@ -37,7 +37,7 @@ from dataclasses import dataclass, field
 from typing import Optional, Union
 
 from ..vm import isa
-from ..vm.config import PARK_HOST_OP
+from ..vm.config import PARK_AWAIT_INSERT, PARK_HOST_OP
 from .lower import CompiledProgram
 from .math_rpn import compile_math_rpn
 
@@ -100,8 +100,19 @@ class IGoto:
 @dataclass(frozen=True)
 class IPark:
     """Blocking/host-serviced leaf op: lane parks, ring executes the source
-    task exactly, resume continues at pc+1 (or the serviced goto target)."""
+    task exactly, resume continues at pc+1 (or the serviced goto target).
+
+    await_slot >= 0 (literal-name ``await_insert`` only): the kernel checks
+    the slot IN-KERNEL and only parks when it is empty. The reference's
+    await is ``while name not in inserts: await asyncio.sleep(0.05)``
+    (interpolation_engine.py:1572-1574) — a present key means NO yield, so
+    the lane's slice continues synchronously (it can even win a race before
+    the event loop ever processes a cancel); an absent key means the lane
+    is suspended at the sleep, where a later race cancellation ALWAYS lands
+    (CancelledError interrupts the sleep even if the key has appeared
+    since). Checking at slice time on device reproduces both exactly."""
     kind: int
+    await_slot: int = -1
 
 
 @dataclass(frozen=True)
@@ -855,6 +866,12 @@ def _plan_instr(plan, compiled, pc, op, a, b, task, slot_for, park):
     if op == isa.OP_GOTO:
         return IGoto(a)
     if op == isa.OP_PARK:
+        if a == PARK_AWAIT_INSERT and task is not None:
+            name = _literal_name(task.get("name"))
+            slot = slot_for(name) if name is not None else None
+            if slot is not None:
+                park(pc, a)  # registers n_parks/park_kind_of bookkeeping
+                return IPark(a, await_slot=slot)
         return park(pc, a)
 
     if op in (isa.OP_PRINT, isa.OP_PRINT_LIT):

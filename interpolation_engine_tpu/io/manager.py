@@ -74,6 +74,11 @@ class ScriptedBackend(BufferBackend):
     """Replays a queue of canned responses (test harness)."""
 
     sync_io = True
+    # select_index on an EMPTY list awaits forever with no pre-yield
+    # side effect, so a drained race can cancel such a lane entirely on
+    # device (vm/turbo.py _fast_cancel). AgentBackend must NOT set this:
+    # it publishes the payload file before blocking.
+    empty_choice_pure = True
 
     def __init__(self, responses: Optional[list[str]] = None):
         super().__init__()

@@ -292,7 +292,13 @@ class LaneRing:
             collect_done(swallow_errors=True)
             await self.cancel(i)
             for t in waiting():
-                tstate[t] = T_DONE   # cancelled at the suspension point
+                # cancelled at the suspension point: a lane waiting at a
+                # park has truly yielded (await_insert lanes only park
+                # NOT-ready — the device checks in-kernel, IPark
+                # await_slot — so the host twin sits in its poll sleep),
+                # and the race cancel always lands in that yield,
+                # whatever has happened to the awaited key since
+                tstate[t] = T_DONE
             runnable = (tstate == T_READY) | (tstate == T_NEW)
             if not runnable.any():
                 return "complete"

@@ -27,14 +27,16 @@ from ..ops import math_kernel as mak
 from ..ops.interp_kernel import ERR_HOST, ERR_MISSING, ERR_OK
 from . import bytestr as bs
 from . import isa
-from .config import (PARKED, RUNNING, DONE, PARK_HOST_OP, PARK_THREADS,
-                     T_FREE, T_NEW, T_READY, T_WAIT, T_DONE, VMConfig)
+from .config import (PARKED, RUNNING, DONE, PARK_AWAIT_INSERT, PARK_HOST_OP,
+                     PARK_THREADS, T_FREE, T_NEW, T_READY, T_WAIT, T_DONE,
+                     VMConfig)
 from .state import (
     T_INT,
     T_LIST,
     T_STR,
     VMInstance,
     arena_write,
+    find_slot,
     fnv1a,
     store_set,
 )
@@ -1254,9 +1256,24 @@ def make_generic_step(cfg: VMConfig, ops: frozenset = None):
         return advance(st, jnp.int32(ERR_OK), st2, jump_pc=jnp.asarray(a))
 
     def h_park(st, a, b, c):
-        return st._replace(status=jnp.int32(PARKED),
-                           park_kind=jnp.asarray(a, jnp.int32),
-                           park_arg=st.pc)
+        # literal-name await_insert (lower.py encodes b=key_off, c=key_len):
+        # a present key means the host twin's poll has NO yield
+        # (executor.py:250-251) — the lane continues synchronously, so
+        # advance in-kernel; an absent key suspends the twin at its sleep
+        # (where a later race cancel ALWAYS lands), so park. Ambiguous
+        # hash collisions park too: the host re-executes exactly. Every
+        # other park kind has ready=False (kind/len guards).
+        kbuf, klen = tmpl(b, c)
+        found, _slot, collide = find_slot(st, kbuf, klen)
+        ready = ((jnp.asarray(a, jnp.int32) == PARK_AWAIT_INSERT) &
+                 (jnp.asarray(c, jnp.int32) > 0) & found & ~collide)
+        return st._replace(
+            pc=jnp.where(ready, st.pc + 1, st.pc),
+            steps=jnp.where(ready, st.steps + 1, st.steps),
+            status=jnp.where(ready, st.status, jnp.int32(PARKED)),
+            park_kind=jnp.where(ready, st.park_kind,
+                                jnp.asarray(a, jnp.int32)),
+            park_arg=jnp.where(ready, st.park_arg, st.pc))
 
     # ---- parallel_wait / parallel_race thread lanes -----------------------
     # Reference: asyncio.gather / wait(FIRST_COMPLETED) over subtask

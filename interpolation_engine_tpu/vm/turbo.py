@@ -52,6 +52,8 @@ per-instance runners.
 
 from __future__ import annotations
 
+import os
+import sys
 from dataclasses import dataclass
 from types import SimpleNamespace
 from typing import NamedTuple
@@ -298,6 +300,22 @@ def _taa(src, idx, t: int, w: int, wo: int | None = None):
     return out[:, :wo] if nco * _PW != wo else out
 
 
+def _shift_static(src, k: int, w: int):
+    """``out[:, j] = src[:, j + k]`` for STATIC k (zeros shift in; k may
+    be negative = right shift). Implemented as pad+slice, NOT a _taa
+    gather: Mosaic miscompiles gathers whose index folds to a pure
+    affine function of the lane iota at w > 128 — SIGABRT at w=512
+    (benchmarks/mosaic_probe9c.py taa_affine), and the r04 wide-kernel
+    "Invalid input layout" on a vector.broadcast traces to the same
+    folding (benchmarks/r04_runs/adventure_real2.err). Row-varying
+    (traced-scalar) indices are unaffected and stay on _taa."""
+    if k == 0:
+        return src
+    if k > 0:
+        return jnp.pad(src, ((0, 0), (0, k)))[:, k:]
+    return jnp.pad(src, ((0, 0), (-k, 0)))[:, :src.shape[1]]
+
+
 def _rd(ts: _TS, c: int):
     return jax.lax.slice_in_dim(ts.regs, c, c + 1, axis=1)
 
@@ -477,8 +495,9 @@ def _int_to_dec(v, t: int, w: int):
     e = nd - 1 - pos
     dig = _taa(table, e, t, w)
     buf = jnp.where(pos < nd, dig + 48, 0)
-    # sign: shift digits right one, '-' (45) at position 0
-    shifted = _taa(buf, pos - 1, t, w)
+    # sign: shift digits right one, '-' (45) at position 0 (static
+    # shift — see _shift_static for why this must not be a gather)
+    shifted = _shift_static(buf, -1, w)
     nbuf = jnp.where(pos == 0, 45, jnp.where(pos < nd + 1, shifted, 0))
     buf = jnp.where(neg, nbuf, buf)
     return buf, nd + neg.astype(jnp.int32)
@@ -531,8 +550,9 @@ def _elem_bytes_static(ts: _TS, cols: _Cols, s: int, e: int, t: int,
     row, off = cols.elem_pos(s, e)
     src = ts.strs[row]
     if off:
-        pos = _iota(t, w)
-        src = _taa(src, pos + off, t, w)
+        # off is a STATIC byte offset — static shift, not a gather
+        # (see _shift_static)
+        src = _shift_static(src, off, w)
     el = jax.lax.slice_in_dim(ts.strs[cols.meta_row[s]],
                               2 * cols.E + e, 2 * cols.E + e + 1, axis=1)
     pos = _iota(t, w)
@@ -1029,9 +1049,27 @@ def _build_branch(instr, pc: int, cols: _Cols, tcfg: TurboConfig, lit):
         return br
 
     if isinstance(instr, IPark):
+        aslot = instr.await_slot
+        if aslot < 0:
+            def br(ts):
+                act = active_of(ts)
+                return ts._replace(
+                    regs=_wr(ts.regs, C_STATUS, PARKED, act))
+            return br
+
         def br(ts):
+            # literal-name await_insert: present key → NO yield on the
+            # host (executor.py:250-251 checks before sleeping), so the
+            # lane continues synchronously in-kernel; absent key → park
+            # (the host lane suspends at the sleep, where a later race
+            # cancel always lands — see IPark's docstring). steps bump
+            # only on the ready path; a park's bump happens at resume.
             act = active_of(ts)
-            return ts._replace(regs=_wr(ts.regs, C_STATUS, PARKED, act))
+            ready = _rd(ts, cols.stype(aslot)) != T_EMPTY
+            regs = _wr(ts.regs, C_STATUS, PARKED, act & ~ready)
+            regs = _wr(regs, C_PC, next_pc, act & ready)
+            regs = _wr(regs, C_STEPS, _rd(ts, C_STEPS) + 1, act & ready)
+            return ts._replace(regs=regs)
         return br
 
     if isinstance(instr, IGoto):
@@ -2066,6 +2104,7 @@ class TurboEngine:
         self._promote_states: dict = {}   # i → promo record
         self._escape_states: dict = {}    # i → promo record (general eng.)
         self._escape_results: dict = {}   # i → final result dict
+        self._promo_tasks: list = []      # in-flight concurrent flushes
         # pure-DP device mesh (SURVEY §2.4): the mega-kernel runs per
         # device via shard_map (build_sharded_step_fn); batches are laid
         # out with per-leaf shardings (sbuf shards its INSTANCE axis) and
@@ -2100,6 +2139,7 @@ class TurboEngine:
         self._fast_tables = None
         self._fast_call: dict = {}       # i → bound sync call | None
         self._fast_call_ok = None        # (n,) i8: 1 sync, -1 no, 0 unknown
+        self._cancel_ok = None           # (n,) i8: empty_choice_pure probe
         self._ios: dict = {}             # i → IOManager (io_factory cache)
         self._meta_fns: dict = {}        # "full" → meta-column slice jit
         self._fast_resume_fns: dict = {}  # (slot, U_pad) → jit
@@ -2577,17 +2617,47 @@ class TurboEngine:
         and completing the block on device is exact."""
         if self._fast_tables is not None:
             return self._fast_tables
-        from .config import PARK_USER_INPUT
+        from .config import (PARK_AWAIT_INSERT, PARK_USER_CHOICE,
+                             PARK_USER_INPUT)
         from . import isa as _isa
         P = self.plan.n_instr
         fast_top = np.zeros((P,), bool)
         fast_drain = np.zeros((P,), bool)
+        # drain-CANCEL sites (VERDICT r4 next #4): a drained race whose
+        # one waiting lane sits at a pc where the LaneRing's service
+        # would deterministically cancel with ZERO state writes —
+        # await_insert (never spawns a host task: lanering.py drain path
+        # marks it T_DONE outright) and a statically-EMPTY user_choice
+        # (the spawned task awaits forever with no pre-yield effect on
+        # pure backends; AgentBackend publishes a payload first, so rows
+        # need backend consent — _cancel_ok). Completing the block on
+        # device is then exact: pc := join, lanes cleared, epoch bump.
+        cancel_any = np.zeros((P,), bool)     # backend-independent
+        cancel_pure = np.zeros((P,), bool)    # needs empty_choice_pure
         sites: dict = {}
         code = self.compiled.code
         for pc, kind in self.plan.park_kind_of.items():
+            task = self.compiled.source_tasks[pc]
+            if kind == PARK_AWAIT_INSERT:
+                name = task.get("name") if task else None
+                if not isinstance(name, str) or \
+                        any(c in name for c in "{}\\"):
+                    continue          # interpolated key: exact slow path
+                # literal-name awaits check readiness IN-KERNEL (IPark
+                # await_slot): a lane only ever parks here NOT-ready,
+                # i.e. suspended at the host twin's sleep — where a race
+                # cancel ALWAYS lands, key-present-now or not. So a
+                # drain with its lone waiting lane here is always a
+                # pure cancel.
+                cancel_any[pc] = True
+                continue
+            if kind == PARK_USER_CHOICE and task and \
+                    task.get("cmd") == "user_choice" and \
+                    task.get("list") == []:
+                cancel_pure[pc] = True
+                continue
             if kind != PARK_USER_INPUT:
                 continue
-            task = self.compiled.source_tasks[pc]
             if not task or task.get("cmd") != "user_input":
                 continue
             name = task.get("output_name")
@@ -2606,7 +2676,8 @@ class TurboEngine:
             if pc + 1 < len(code) and \
                     int(code[pc + 1][0]) == _isa.OP_THREAD_END:
                 fast_drain[pc] = True
-        self._fast_tables = (fast_top, fast_drain, sites)
+        self._fast_tables = (fast_top, fast_drain, sites,
+                             cancel_any, cancel_pure)
         return self._fast_tables
 
     def _meta_cols(self) -> list:
@@ -2664,6 +2735,90 @@ class TurboEngine:
                 ok[i] = 1 if call is not None else -1
         return ok
 
+    def _cancel_avail(self, parked: np.ndarray, n: int) -> np.ndarray:
+        """Per-row consent for the empty-user_choice drain cancel: the
+        backend must declare ``empty_choice_pure`` (its select_index on
+        an empty list awaits forever with NO pre-yield side effect —
+        ScriptedBackend qualifies; AgentBackend publishes a payload file
+        first, so it must stay on the exact slow path)."""
+        ok = self._cancel_ok
+        if ok is None or len(ok) != n:
+            ok = self._cancel_ok = np.zeros((n,), np.int8)
+        need = parked[ok[parked] == 0]
+        for i in need.tolist():
+            b = getattr(self._io_for(i), "backend", None)
+            ok[i] = 1 if getattr(b, "empty_choice_pure", False) else -1
+        return ok
+
+    def _fast_cancel_fn(self):
+        """Device-side drain-cancel resume: complete the parallel block
+        for masked rows with ZERO slot writes — pc := join, status
+        RUNNING, steps+1, lanes freed, parallel registers cleared, epoch
+        bump. Equals the LaneRing drain path for a lone waiting lane at
+        an await_insert / pure empty user_choice (lanering.py:282-306
+        with no runnable lanes)."""
+        fn = self._fast_resume_fns.get("cancel")
+        if fn is not None:
+            return fn
+        cols = self.cols
+        nt = cols.nt
+        regw = cols.regw
+
+        def fn(regs, mask):
+            m = mask != 0
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, regw), 1)
+            mm = m[:, None]
+            new = regs
+
+            def setc(new, c, v):
+                return jnp.where((lane == c) & mm, v[:, None], new)
+
+            zero = regs[:, C_PC] * 0
+            new = setc(new, C_PC, regs[:, C_PARJOIN])
+            new = setc(new, C_STATUS, zero + RUNNING)
+            new = setc(new, C_STEPS, regs[:, C_STEPS] + 1)
+            new = setc(new, C_CURTID, zero - 1)
+            new = setc(new, C_PARMODE, zero + PM_NONE)
+            new = setc(new, C_PARJOIN, zero)
+            new = setc(new, C_PAREPOCH, regs[:, C_PAREPOCH] + 1)
+            for l in range(nt):
+                new = setc(new, cols.tstate(l), zero + T_FREE)
+            return new
+
+        fn = jax.jit(fn, donate_argnums=(0,))
+        self._fast_resume_fns["cancel"] = fn
+        return fn
+
+    def _fast_cancel(self, batch: TurboBatch, rows: np.ndarray,
+                     wpcs: np.ndarray) -> TurboBatch:
+        """Vectorized drain-cancel service for `rows` (waiting-lane pcs
+        `wpcs` for the kind tally / event parity)."""
+        from ..core.events import EVENTS, TASK_START, VM_PARK
+        from .config import PARK_USER_CHOICE
+        n = int(batch.regs.shape[0])
+        mask = np.zeros((n,), np.uint8)
+        mask[rows] = 1
+        regs = self._fast_cancel_fn()(batch.regs, jnp.asarray(mask))
+        batch = TurboBatch(regs, batch.sbuf, batch.out)
+        by = self.ring_stats["parks_by_kind"]
+        n_choice = 0
+        for pc, cnt in zip(*np.unique(wpcs, return_counts=True)):
+            kind = self.plan.park_kind_of.get(int(pc), 0)
+            by[kind] = by.get(kind, 0) + int(cnt)
+            if kind == PARK_USER_CHOICE:
+                n_choice += int(cnt)
+        if n_choice:
+            # the slow path's spawned lane task would have run
+            # execute_task's prefix (TASK_START) and exec_parked's
+            # VM_PARK before the cancel; await_insert lanes spawn
+            # nothing (lanering.py spawn_new_lane_tasks skips them)
+            EVENTS.counters[TASK_START] = \
+                EVENTS.counters.get(TASK_START, 0) + n_choice
+            EVENTS.counters[VM_PARK] = \
+                EVENTS.counters.get(VM_PARK, 0) + n_choice
+        self.ring_stats["fast_parks"] += len(rows)
+        return batch
+
     def _classify_parked(self, batch: TurboBatch, parked: np.ndarray,
                          meta_np: np.ndarray = None):
         """Split parked rows into fast-serviceable site groups and the
@@ -2676,11 +2831,15 @@ class TurboEngine:
         per-row backend call itself lives in _fast_service)."""
         from ..core.context import log_enabled
         from ..core.events import EVENTS
+        none = (np.zeros((0,), np.int64), np.zeros((0,), np.int64))
         if not self._fast_enabled or len(parked) == 0:
-            return {}, parked
-        fast_top, fast_drain, sites = self._build_fast_tables()
-        if not sites or log_enabled() or EVENTS.enabled:
-            return {}, parked
+            return {}, none, parked
+        (fast_top, fast_drain, sites, cancel_any,
+         cancel_pure) = self._build_fast_tables()
+        has_cancel = bool(cancel_any.any() or cancel_pure.any())
+        if (not sites and not has_cancel) or log_enabled() \
+                or EVENTS.enabled:
+            return {}, none, parked
         k = len(parked)
         n = int(batch.regs.shape[0])
         if meta_np is None:
@@ -2692,6 +2851,7 @@ class TurboEngine:
         top_mask = (pm == PM_NONE) & fast_top[np.clip(pcs, 0, P - 1)]
         site_pcs = np.where(top_mask, pcs, -1)
         nt = self.cols.nt
+        cancel_mask = np.zeros((k,), bool)
         if nt:
             tst = meta[:, 2:2 + nt]
             targ = meta[:, 2 + nt:2 + 2 * nt]
@@ -2700,22 +2860,36 @@ class TurboEngine:
             okstates = ((tst == T_WAIT) | (tst == T_DONE) |
                         (tst == T_FREE)).all(1)
             wl = is_wait.argmax(1)
-            wpc = targ[np.arange(k), wl]
-            dmask = (pm == PM_DRAIN) & (waitc == 1) & okstates & \
-                fast_drain[np.clip(wpc, 0, P - 1)]
+            wpc = np.clip(targ[np.arange(k), wl], 0, P - 1)
+            drainable = (pm == PM_DRAIN) & (waitc == 1) & okstates
+            dmask = drainable & fast_drain[wpc]
             site_pcs = np.where(dmask, wpc, site_pcs)
             fast_mask = top_mask | dmask
+            if has_cancel:
+                # drain-cancel rows: complete the block with no writes.
+                # (await_insert lanes only park NOT-ready — the in-kernel
+                # IPark await_slot check — so the host twin is suspended
+                # at its sleep, where the cancel always lands.)
+                cancel_mask = drainable & cancel_any[wpc]
+                pure = drainable & cancel_pure[wpc]
+                if pure.any():
+                    pure &= self._cancel_avail(parked, n)[parked] == 1
+                    cancel_mask |= pure
         else:
+            wpc = np.zeros((k,), np.int64)
             fast_mask = top_mask
         fast_mask &= self._fast_call_avail(parked, n)[parked] == 1
+        fast_mask &= ~cancel_mask
         pend = self._lanering.pending
-        if pend and fast_mask.any():
+        if pend and (fast_mask.any() or cancel_mask.any()):
             # pending lane IO demotes a row to the exact slow path; pend
             # is small (lanes mid-await), so resolve its rows directly
             prows = [r for r in (self._row_of(g, n) for g in pend)
                      if r is not None]
             if prows:
-                fast_mask &= ~np.isin(parked, prows)
+                demote = ~np.isin(parked, prows)
+                fast_mask &= demote
+                cancel_mask &= demote
         fp = parked[fast_mask]
         groups: dict = {}
         if len(fp):
@@ -2725,8 +2899,9 @@ class TurboEngine:
             else:
                 for pc in np.unique(sp):
                     groups[int(pc)] = fp[sp == pc]
-        slow = parked[~fast_mask]
-        return groups, slow
+        cancels = (parked[cancel_mask], wpc[cancel_mask])
+        slow = parked[~(fast_mask | cancel_mask)]
+        return groups, cancels, slow
 
     def _fast_resume_fn(self, out_slot: int, u_pad: int):
         """Device-side resume for one fast site: write the (deduped)
@@ -2797,6 +2972,62 @@ class TurboEngine:
         self._fast_resume_fns[key] = fn
         return fn
 
+    def _fast_resume_all_fn(self, out_slot: int):
+        """_fast_resume_fn specialized to the lockstep case: EVERY row is
+        parked at the same fast site with ONE deduped response. The only
+        host→device transfer is the (1, w+2) u8 response row — no (n, 2)
+        mask/index upload (race-io parks all 131k rows every turn; the
+        mask alone was 256 KB/round over the axon tunnel)."""
+        fn = self._fast_resume_fns.get(("all", out_slot))
+        if fn is not None:
+            return fn
+        cols = self.cols
+        row_idx = cols.str_row[out_slot]
+        stype_c = cols.stype(out_slot)
+        sint_c = cols.sint(out_slot)
+        slen_c = cols.slen(out_slot)
+        nt = cols.nt
+        regw = cols.regw
+        w = self.tcfg.width
+
+        def fn(regs, sbuf, uniq):
+            ub = uniq.astype(jnp.int32)           # (1, w+2)
+            uniq_u8 = ub[:, :w]
+            rlen = ub[:, w] + ub[:, w + 1] * 256  # (1,)
+            drain = regs[:, C_PARMODE] == PM_DRAIN
+            nxt = jnp.where(drain, regs[:, C_PARJOIN], regs[:, C_PC] + 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, regw), 1)
+            new = regs
+
+            def setc(new, c, v):
+                return jnp.where(lane == c, v[:, None], new)
+
+            zero = nxt * 0
+            new = setc(new, C_PC, nxt)
+            new = setc(new, C_STATUS, zero + RUNNING)
+            new = setc(new, C_STEPS, regs[:, C_STEPS] + 1)
+            new = setc(new, stype_c, zero + T_STR)
+            new = setc(new, sint_c, zero)
+            new = setc(new, slen_c, zero + rlen)
+            new = setc(new, C_CURTID,
+                       jnp.where(drain, -1, regs[:, C_CURTID]))
+            new = setc(new, C_PARMODE,
+                       jnp.where(drain, PM_NONE, regs[:, C_PARMODE]))
+            new = setc(new, C_PARJOIN,
+                       jnp.where(drain, 0, regs[:, C_PARJOIN]))
+            new = setc(new, C_PAREPOCH,
+                       regs[:, C_PAREPOCH] + drain.astype(jnp.int32))
+            for l in range(nt):
+                c = cols.tstate(l)
+                new = setc(new, c,
+                           jnp.where(drain, T_FREE, regs[:, c]))
+            srow = jnp.broadcast_to(uniq_u8, sbuf[row_idx].shape)
+            return new, sbuf.at[row_idx].set(srow)
+
+        fn = jax.jit(fn, donate_argnums=(0, 1))
+        self._fast_resume_fns[("all", out_slot)] = fn
+        return fn
+
     async def _fast_service(self, batch: TurboBatch, groups: dict,
                             rts: dict):
         """Service fast site groups: per-row sync backend calls (the only
@@ -2805,7 +3036,7 @@ class TurboEngine:
         from ..core.context import ESCAPE, INSERT_START, INSERT_STOP
         from ..core.events import EVENTS, TASK_START, VM_PARK
         from .config import PARK_USER_INPUT
-        _, _, sites = self._build_fast_tables()
+        sites = self._build_fast_tables()[2]
         n_done = 0
         w = self.tcfg.width
         n = int(batch.regs.shape[0])
@@ -2856,21 +3087,33 @@ class TurboEngine:
                 rows_l, inv = keep_rows, keep_inv
             if not rows_l:
                 continue
-            u_pad = max(4, 1 << (len(enc) - 1).bit_length())
-            uniq_pk = np.zeros((u_pad, w + 2), np.uint8)
-            for u, data in enumerate(enc):
-                uniq_pk[u, :len(data)] = np.frombuffer(data, np.uint8)
-                uniq_pk[u, w] = len(data) & 0xFF
-                uniq_pk[u, w + 1] = len(data) >> 8
-            rows_np = np.asarray(rows_l, np.int64)
-            mi_dt = np.uint8 if u_pad <= 256 else np.int32
-            mi_np = np.zeros((n, 2), mi_dt)
-            mi_np[rows_np, 0] = 1
-            if inv is not None:
-                mi_np[rows_np, 1] = np.fromiter(inv, mi_dt, len(inv))
-            fn = self._fast_resume_fn(out_slot, u_pad)
-            regs, sbuf = fn(batch.regs, batch.sbuf, jnp.asarray(mi_np),
-                            jnp.asarray(uniq_pk))
+            if len(rows_l) == n and len(enc) == 1:
+                # lockstep round (every row at this site, one deduped
+                # response): skip the (n, 2) mask upload entirely
+                uniq_pk = np.zeros((1, w + 2), np.uint8)
+                data = enc[0]
+                uniq_pk[0, :len(data)] = np.frombuffer(data, np.uint8)
+                uniq_pk[0, w] = len(data) & 0xFF
+                uniq_pk[0, w + 1] = len(data) >> 8
+                fn = self._fast_resume_all_fn(out_slot)
+                regs, sbuf = fn(batch.regs, batch.sbuf,
+                                jnp.asarray(uniq_pk))
+            else:
+                u_pad = max(4, 1 << (len(enc) - 1).bit_length())
+                uniq_pk = np.zeros((u_pad, w + 2), np.uint8)
+                for u, data in enumerate(enc):
+                    uniq_pk[u, :len(data)] = np.frombuffer(data, np.uint8)
+                    uniq_pk[u, w] = len(data) & 0xFF
+                    uniq_pk[u, w + 1] = len(data) >> 8
+                rows_np = np.asarray(rows_l, np.int64)
+                mi_dt = np.uint8 if u_pad <= 256 else np.int32
+                mi_np = np.zeros((n, 2), mi_dt)
+                mi_np[rows_np, 0] = 1
+                if inv is not None:
+                    mi_np[rows_np, 1] = np.fromiter(inv, mi_dt, len(inv))
+                fn = self._fast_resume_fn(out_slot, u_pad)
+                regs, sbuf = fn(batch.regs, batch.sbuf,
+                                jnp.asarray(mi_np), jnp.asarray(uniq_pk))
             batch = TurboBatch(regs, sbuf, batch.out)
             n_done += len(rows_l)
             # events parity: the fast path only runs with logging/event
@@ -3025,10 +3268,22 @@ class TurboEngine:
         kept: list = []
         wide = TurboEngine(
             self.compiled, tcfg,
-            io_factory=lambda r: self.io_factory(kept[r]),
+            # reuse the parent's CACHED IOManager (not the raw factory):
+            # the instance may already have consumed scripted/agent
+            # responses or hold an open backend session — a fresh backend
+            # would replay or drop that state after migration
+            io_factory=lambda r: self._io_for(kept[r]),
             plan=self.plan, interpret=self.interpret,
             lanering=self._lanering,
             promote_factor=0)   # one promotion level; then general engine
+        # successive concurrent flushes build identical-shape siblings:
+        # share the compiled-fn caches so only the first pays the build
+        caches = getattr(self, "_wide_caches", None)
+        if caches is None:
+            caches = self._wide_caches = (wide._step_fns,
+                                          wide._fast_resume_fns,
+                                          wide._meta_fns)
+        wide._step_fns, wide._fast_resume_fns, wide._meta_fns = caches
         rows = []
         for i in sorted(self._promote_states):
             rec = self._promote_states.pop(i)
@@ -3074,7 +3329,9 @@ class TurboEngine:
             max(str_need(r) for r in recs))
         runner = DeviceRunner(
             self.compiled, cfg,
-            io_factory=lambda r: self.io_factory(ids[r]),
+            # cached IOManager, same reason as _flush_promotions: consumed
+            # responses / open sessions must survive the migration
+            io_factory=lambda r: self._io_for(ids[r]),
             mode="auto", lanering=self._lanering,
             instance_ids=[self._gid(i) for i in ids])
         insts = []
@@ -3447,26 +3704,40 @@ class TurboEngine:
         import time
         from ..core.context import log_enabled
         from ..core.events import EVENTS, VM_ROUND
+
+        # device→host downloads run in a worker thread: np.asarray blocks
+        # in C until the dispatched step finishes, so awaiting it in a
+        # thread lets a SIBLING shard's coroutine run its (GIL-bound)
+        # ring service while THIS shard computes on device — that is the
+        # whole overlap mechanism behind run_pipelined (VERDICT r4 next
+        # #4). Within a single-engine run it adds only ~50 µs/round.
+        async def dl(x):
+            return await asyncio.to_thread(np.asarray, x)
+
+        trace = os.environ.get("IE_TPU_RING_TRACE") == "1"
         n = batch.regs.shape[0]
         step = self.step_fn(n)
         rts: dict = {}
         stalled = 0
         for round_no in range(max_rounds):
+            t_top = time.perf_counter()
             batch = step(batch)
             meta_np = None
-            if self._fast_enabled and self._build_fast_tables()[2] \
+            ft = self._build_fast_tables() if self._fast_enabled else None
+            if ft is not None and (ft[2] or ft[3].any() or ft[4].any()) \
                     and not log_enabled() and not EVENTS.enabled:
                 # one combined u8 download serves the liveness check AND
                 # park classification (col 0 is C_STATUS)
-                meta_np = np.asarray(self._meta_full_fn()(batch.regs))
+                meta_np = await dl(self._meta_full_fn()(batch.regs))
                 status = meta_np[:, 0].astype(np.int32)
             else:
-                status = np.asarray(batch.regs[:, C_STATUS])
+                status = await dl(batch.regs[:, C_STATUS])
+            t_meta = time.perf_counter()
             if self._lanering.pending:
                 # cancel host IO of finished parallel blocks (a race won
                 # on device bumps par_epoch; the losers' pending IO must
                 # be cancelled — same sweep as the general engine)
-                epochs = np.asarray(batch.regs[:, C_PAREPOCH])
+                epochs = await dl(batch.regs[:, C_PAREPOCH])
                 n_rows = len(status)
                 for gid in list(self._lanering.pending):
                     row = self._row_of(gid, n_rows)
@@ -3491,22 +3762,36 @@ class TurboEngine:
             # vectorized fast path first (literal-prompt user_input on
             # sync backends — VERDICT r3 next #3): no full-row gather,
             # device-side resume; the exact slow path takes the rest
-            fast_groups, slow = self._classify_parked(batch, parked,
-                                                      meta_np)
+            fast_groups, cancels, slow = self._classify_parked(
+                batch, parked, meta_np)
             service = sub = idx = park_pcs = None
             k_pad = 0
             if len(slow):
                 # batched gather of every slow parked row (one fused,
-                # uint8-compressed device round-trip)
-                sub, idx, k_pad = self._gather_sub(batch, slow)
+                # uint8-compressed device round-trip; thread-offloaded —
+                # its downloads block on device completion)
+                sub, idx, k_pad = await asyncio.to_thread(
+                    self._gather_sub, batch, slow)
                 park_pcs = sub["regs"][:, C_PC].copy()  # pre-service pcs
                 service = asyncio.gather(*[
                     self._service(sub, j, int(i), rts)
                     for j, i in enumerate(slow)])
+            t_cls = time.perf_counter()
             n_fast = 0
+            if len(cancels[0]):
+                batch = self._fast_cancel(batch, *cancels)
+                n_fast += len(cancels[0])
             if fast_groups:
-                batch, n_fast = await self._fast_service(batch,
-                                                         fast_groups, rts)
+                batch, nf = await self._fast_service(batch,
+                                                     fast_groups, rts)
+                n_fast += nf
+            if trace:
+                print(f"# ring-trace r={round_no} parked={len(parked)} "
+                      f"fast={n_fast} slow={len(slow)} "
+                      f"step+meta={t_meta - t_top:.4f} "
+                      f"classify={t_cls - t_meta:.4f} "
+                      f"fastsvc={time.perf_counter() - t_cls:.4f}",
+                      file=sys.stderr)
             # overlap: while the host services this round's slow parks,
             # the device steps the RUNNING lanes (including rows the fast
             # path just resumed). Parked lanes are frozen in-kernel (test:
@@ -3540,6 +3825,16 @@ class TurboEngine:
                         sub["regs"][j, C_STATUS] = RUNNING
                 batch = self._scatter_sub(batch, sub, idx,
                                           len(slow), k_pad)
+            if self._promote_states and self.promote_factor:
+                # flush promotions CONCURRENTLY with the main batch: an
+                # interactive program (the flagship) never finishes, so a
+                # promoted instance must resume in its wider sibling NOW,
+                # not at end-of-run. _flush_promotions pops its queue
+                # synchronously before its first await, so a later round's
+                # flush sees only newly promoted instances. (Before the
+                # fast-only shortcut: _promote_after_fast queues here too.)
+                self._promo_tasks.append(
+                    asyncio.ensure_future(self._flush_promotions()))
             if service is None and n_fast:
                 # fast-only round: every serviced row is RUNNING by
                 # construction (device-side resume), so the liveness and
@@ -3547,7 +3842,7 @@ class TurboEngine:
                 # download — the loop-top step re-fetches next round
                 stalled = 0
                 continue
-            status = np.asarray(batch.regs[:, C_STATUS])
+            status = await dl(batch.regs[:, C_STATUS])
             if not ((status == RUNNING) | (status == PARKED)).any():
                 break
             if not (status == RUNNING).any() and resumed == 0:
@@ -3557,9 +3852,12 @@ class TurboEngine:
                 await asyncio.sleep(0.05)
             else:
                 stalled = 0
-        # run queued width promotions in ONE wider sibling batch, then
-        # whatever even that can't hold in ONE batched general runner
-        # (the promotion flush may add to the escape queue)
+        # join in-flight sibling batches, run any still-queued promotions,
+        # then whatever even the sibling can't hold in ONE batched general
+        # runner (the promotion flush may add to the escape queue)
+        for t in self._promo_tasks:
+            await t
+        self._promo_tasks.clear()
         await self._flush_promotions()
         await self._flush_escapes()
         n_rows = int(batch.regs.shape[0])
@@ -3600,3 +3898,45 @@ class TurboEngine:
                 status=int(host["regs"][i, C_STATUS]),
                 steps=int(host["regs"][i, C_STEPS])))
         return out
+
+
+def make_shard_engines(compiled, tcfg: TurboConfig, n_shards: int,
+                       io_factory=None, **kw) -> list:
+    """n_shards sibling TurboEngines over one shared plan and LaneRing,
+    with disjoint global instance-id ranges assigned at load time via
+    assign_shard_ids(). The siblings share the compiled step-fn cache
+    (identical plan/tcfg → identical kernels), so only the first shard
+    pays the build; use with run_pipelined."""
+    from ..compiler.turbo import plan_turbo
+    from .lanering import LaneRing
+    plan = plan_turbo(compiled)
+    ring = LaneRing(compiled)
+    engines = [TurboEngine(compiled, tcfg, io_factory=io_factory,
+                           plan=plan, lanering=ring, **kw)
+               for _ in range(n_shards)]
+    for e in engines[1:]:
+        e._step_fns = engines[0]._step_fns
+        e._fast_resume_fns = engines[0]._fast_resume_fns
+        e._meta_fns = engines[0]._meta_fns
+    return engines
+
+
+def assign_shard_ids(engines: list, shard_n: int) -> None:
+    """Give each sibling a disjoint global-id range (row r of shard s is
+    instance s*shard_n + r) so per-instance IO and the shared LaneRing
+    key correctly across shards."""
+    for s, e in enumerate(engines):
+        e.instance_ids = list(range(s * shard_n, (s + 1) * shard_n))
+
+
+async def run_pipelined(pairs, **kw) -> list:
+    """Drive (engine, batch) pairs concurrently on one event loop.
+
+    run_async's device→host downloads block in worker threads, so while
+    shard A runs its (GIL-bound) host ring service, shard B's mega-kernel
+    step proceeds on device and vice versa — host servicing overlaps
+    device stepping instead of serializing with it (VERDICT r4 next #4).
+    Returns the final batches in pair order."""
+    import asyncio
+    return list(await asyncio.gather(
+        *[e.run_async(b, **kw) for e, b in pairs]))

@@ -38,7 +38,10 @@ def test_text_adventure_compiles_for_device(tmp_path):
     assert not compiled.host_only, compiled.host_only_reason
 
 
-@pytest.mark.parametrize("mode", ["eager", "jit"])
+@pytest.mark.parametrize("mode", [
+    "eager",
+    pytest.param("jit", marks=pytest.mark.slow),  # ~44 s compile
+])
 def test_device_text_adventure_two_turns(tmp_path, capsys, mode):
     """Both device dispatch modes: 'eager' (per-handler concrete stepping)
     and 'jit' (the compiled run_batch loop — the ONLY path that ever runs

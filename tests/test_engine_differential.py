@@ -168,6 +168,7 @@ def run_device_program(program_src: str):
     return ("ok", r.output, r.inserts)
 
 
+@pytest.mark.slow
 def test_random_programs_agree(tmp_path, capsys):
     rng = random.Random(20260816)
     n_compared = 0

@@ -76,6 +76,7 @@ def _concat(batches):
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *batches)
 
 
+@pytest.mark.slow
 def test_jit_lockstep_uniform_path(tmp_path, capsys):
     """All lanes share every pc → run_batch takes the scalar-opcode fast
     path each step. Outputs must be byte-identical to the host."""
@@ -90,6 +91,7 @@ def test_jit_lockstep_uniform_path(tmp_path, capsys):
         assert r.inserts == dict(host["inserts"])
 
 
+@pytest.mark.slow
 def test_jit_divergent_mixed_path(tmp_path, capsys):
     """Lanes at different pcs force the vmapped per-lane switch. The park
     route (user_input) must also resume correctly under jit."""
@@ -112,6 +114,7 @@ def test_jit_divergent_mixed_path(tmp_path, capsys):
         assert r.inserts == dict(h["inserts"])
 
 
+@pytest.mark.slow
 def test_jit_uniform_and_mixed_agree():
     """The same lanes run lockstep vs interleaved-divergent must end in
     identical states: the two dispatch paths are interchangeable."""

@@ -94,6 +94,7 @@ def test_sharded_parallel_block(capsys):
         assert r.output == f"a;t0;x=x{i};t1;y=y{i};z"
 
 
+@pytest.mark.slow
 def test_turbo_sharded_step_bit_identical():
     """The turbo mega-kernel over the 8-device mesh (shard_map, per-leaf
     specs — sbuf shards on its INSTANCE axis, not its leading rows axis)

@@ -381,3 +381,59 @@ def test_ring_stats_clean_program(capsys):
     assert r.status == DONE
     assert runner.ring_stats["capacity_parks"] == 0
     assert runner.ring_stats["parks"] >= 2  # the two user_inputs
+
+
+def test_race_ready_await_continues_never_yielded_lane(tmp_path, capsys):
+    """asyncio-twin ordering for await_insert inside a race (reference:
+    executor.py:250-251 / interpolation_engine.py:1572-1574): a READY
+    await never yields, so (a) a racing lane that reaches one continues
+    synchronously and can WIN, and (b) a loser lane given its first
+    slice after a synchronous winner (its first step was already queued
+    before the FIRST_COMPLETED waiter's wake callback) also runs through
+    it. A NOT-ready await suspends at the poll sleep, where the race
+    cancel always lands — key-present-now or not. The device checks
+    readiness in-kernel (step.py h_park), so UNREACHED prints on turns
+    2-3 (won exists) but not turn 1."""
+    src = """
+    {
+        default_state: {order_index: 1, inserts: {turn: 0}},
+        order: [
+            {cmd:'label', name:'@loop'},
+            {cmd:'math', input:'{turn} + 1', output_name:'turn'},
+            {cmd:'parallel_race', tasks:[
+                {cmd:'serial', tasks:[
+                    {cmd:'set', item:'gen-{turn}', output_name:'gen'},
+                    {cmd:'print', text:'[{gen}]'},
+                ]},
+                {cmd:'serial', tasks:[
+                    {cmd:'await_insert', name:'won'},
+                    {cmd:'print', text:'UNREACHED'},
+                ]},
+            ]},
+            {cmd:'parallel_race', tasks:[
+                {cmd:'serial', tasks:[
+                    {cmd:'await_insert', name:'gen'},
+                    {cmd:'print', text:'SYNC-UNREACHED'},
+                ]},
+                {cmd:'serial', tasks:[
+                    {cmd:'set', item:'w-{turn}', output_name:'won'},
+                ]},
+            ]},
+            {cmd:'goto_map', text:'{turn}', target_maps:[
+                {'3': '@end'}, {'*': '@loop'}]},
+            {cmd:'label', name:'@end'},
+            {cmd:'print', text:'fin {gen} {won}'},
+        ],
+        named_tasks: {}, save_states: {},
+    }
+    """
+    host_out, host_ins = run_host(src, tmp_path, [])
+    assert host_out == ("[gen-1]SYNC-UNREACHED"
+                        "[gen-2]UNREACHEDSYNC-UNREACHED"
+                        "[gen-3]UNREACHEDSYNC-UNREACHED"
+                        "fin gen-3 w-3")
+    r, runner = run_device(src, [])
+    capsys.readouterr()
+    assert r.status == DONE
+    assert r.output == host_out
+    assert r.inserts == host_ins
